@@ -1,0 +1,223 @@
+"""Approximate-cosine top-K retrieval over a cluster→tweet index.
+
+TPU-native re-design of simclusters-ann's scan
+(``simclusters-ann/server/.../candidate_source/ApproximateCosineSimilarity.scala:57-128``):
+
+Reference (JVM): for each of the source's top-N clusters, walk its top-M
+(tweetId, score) row; accumulate per-tweet ``score += tweetScore·srcScore``
+and ``norm += tweetScore²`` in hashmaps; normalize per ScoringAlgorithm;
+filter by age/minScore; sort; take X.
+
+Here (XLA): the whole scan is one static-shaped program —
+gather N index rows → broadcast multiply (VPU) → **dedup via sort +
+segment-sum by tweet id** (a tweet appears in many cluster rows; the
+hashmap-accumulate becomes a sort/segment reduction — SURVEY.md "hard
+parts") → normalize → mask → ``lax.top_k``. Tweet ids are compact int32
+row ids (snowflake→compact mapping lives on the host feed); ages come from
+a parallel timestamp array rather than snowflake bit-twiddling.
+
+Everything is jit/vmap-compatible; the batched form scores Q queries at once.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from the_algorithm_tpu.ops import sparse
+from the_algorithm_tpu.ops.sparse import PAD_ID, SparseEmbedding
+
+
+class ScoringAlgorithm(enum.Enum):
+    """≡ thrift ``ScoringAlgorithm`` (simclusters-ann/thrift/.../simClustersAnn.thrift)."""
+
+    DOT_PRODUCT = "dot_product"
+    COSINE = "cosine"
+    LOG_COSINE = "log_cosine"
+    COSINE_NO_SOURCE_NORM = "cosine_no_source_norm"
+
+
+class ClusterTweetIndex(NamedTuple):
+    """Top-M tweets per cluster (the realtime index built by TweetJob).
+
+    ``tweet_ids[c]`` is score-descending; PAD_ID marks empty slots.
+    ``timestamps`` (seconds, arbitrary epoch) drive the age filter.
+    """
+
+    tweet_ids: jnp.ndarray  # [C, M] int32, PAD_ID = empty
+    scores: jnp.ndarray  # [C, M] float32
+    timestamps: jnp.ndarray  # [C, M] int32 (0 if unused)
+
+    @property
+    def num_clusters(self) -> int:
+        return self.tweet_ids.shape[0]
+
+    @property
+    def tweets_per_cluster(self) -> int:
+        return self.tweet_ids.shape[1]
+
+
+def _dedup_sum(
+    ids: jnp.ndarray, *values: jnp.ndarray
+) -> Tuple[jnp.ndarray, ...]:
+    """Sort by id and collapse equal runs by summation.
+
+    Returns (rep_ids, *summed) where non-representative slots are PAD_ID/0.
+    """
+    order = jnp.argsort(ids)
+    ids = ids[order]
+    values = tuple(v[order] for v in values)
+    new_run = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (ids[1:] != ids[:-1]).astype(jnp.int32)]
+    )
+    seg = jnp.cumsum(new_run) - 1
+    n = ids.shape[0]
+    out = []
+    for v in values:
+        summed = jax.ops.segment_sum(v, seg, num_segments=n)
+        out.append(jnp.where(new_run == 1, summed[seg], 0.0))
+    rep_ids = jnp.where(new_run == 1, ids, PAD_ID)
+    return (rep_ids,) + tuple(out)
+
+
+def approximate_cosine_similarity(
+    index: ClusterTweetIndex,
+    source: SparseEmbedding,
+    *,
+    max_results: int,
+    algorithm: ScoringAlgorithm = ScoringAlgorithm.COSINE,
+    min_score: float = 0.0,
+    max_top_tweets_per_cluster: Optional[int] = None,
+    exclude_tweet_id: Optional[jnp.ndarray] = None,
+    earliest_ts: Optional[jnp.ndarray] = None,
+    latest_ts: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-query retrieval. Returns (tweet_ids[X], scores[X]).
+
+    Empty result slots have id PAD_ID and score -inf. ``source`` is the
+    query's SimClusters embedding truncated to its top-N scan clusters
+    (≡ config.maxScanClusters, prod N=50).
+    """
+    M = index.tweets_per_cluster
+    if max_top_tweets_per_cluster is not None and max_top_tweets_per_cluster < M:
+        M = max_top_tweets_per_cluster
+
+    src_valid = source.valid_mask()  # [N]
+    safe_cluster = jnp.where(src_valid, source.ids, 0)
+    rows_ids = index.tweet_ids[safe_cluster, :M]  # [N, M]
+    rows_scores = index.scores[safe_cluster, :M]
+    rows_ts = index.timestamps[safe_cluster, :M]
+
+    valid = (rows_ids != PAD_ID) & src_valid[:, None]
+    if exclude_tweet_id is not None:
+        valid &= rows_ids != exclude_tweet_id
+    if earliest_ts is not None:
+        valid &= rows_ts >= earliest_ts
+    if latest_ts is not None:
+        valid &= rows_ts <= latest_ts
+
+    contrib = jnp.where(
+        valid, rows_scores * source.scores[:, None], 0.0
+    )  # score · srcClusterScore
+    norm_part = jnp.where(valid, rows_scores * rows_scores, 0.0)
+    flat_ids = jnp.where(valid, rows_ids, PAD_ID).reshape(-1)
+
+    uniq_ids, sum_contrib, sum_norm = _dedup_sum(
+        flat_ids, contrib.reshape(-1), norm_part.reshape(-1)
+    )
+    is_real = uniq_ids != PAD_ID
+
+    # normalization per ScoringAlgorithm (ApproximateCosineSimilarity.scala:105-121)
+    eps = 1e-30
+    if algorithm == ScoringAlgorithm.DOT_PRODUCT:
+        score = sum_contrib
+    elif algorithm == ScoringAlgorithm.COSINE:
+        score = sum_contrib / jnp.maximum(
+            sparse.l2_norm(source) * jnp.sqrt(sum_norm), eps
+        )
+    elif algorithm == ScoringAlgorithm.LOG_COSINE:
+        score = sum_contrib / jnp.maximum(
+            sparse.log_norm(source) * jnp.log1p(sum_norm), eps
+        )
+    elif algorithm == ScoringAlgorithm.COSINE_NO_SOURCE_NORM:
+        score = sum_contrib / jnp.maximum(jnp.sqrt(sum_norm), eps)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown algorithm {algorithm}")
+
+    neg_inf = jnp.float32(-jnp.inf)
+    score = jnp.where(is_real & (score >= min_score), score, neg_inf)
+
+    k = min(max_results, score.shape[0])
+    top_scores, top_idx = jax.lax.top_k(score, k)
+    top_ids = jnp.where(
+        jnp.isfinite(top_scores), uniq_ids[top_idx], PAD_ID
+    )
+    if k < max_results:  # keep the static output width the caller asked for
+        pad = max_results - k
+        top_ids = jnp.concatenate([top_ids, jnp.full((pad,), PAD_ID, jnp.int32)])
+        top_scores = jnp.concatenate([top_scores, jnp.full((pad,), neg_inf)])
+    return top_ids, top_scores
+
+
+def approximate_cosine_similarity_batch(
+    index: ClusterTweetIndex,
+    sources: SparseEmbedding,  # batched [Q, N]
+    **kwargs,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched retrieval: [Q] queries → (ids [Q, X], scores [Q, X])."""
+    fn = functools.partial(approximate_cosine_similarity, index, **kwargs)
+    return jax.vmap(fn)(sources)
+
+
+# -- numpy reference (golden-parity oracle for tests) ------------------------
+
+
+def approximate_cosine_similarity_reference(
+    index_ids: np.ndarray,
+    index_scores: np.ndarray,
+    index_ts: np.ndarray,
+    src_ids: np.ndarray,
+    src_scores: np.ndarray,
+    *,
+    max_results: int,
+    algorithm: ScoringAlgorithm = ScoringAlgorithm.COSINE,
+    min_score: float = 0.0,
+    earliest_ts: Optional[int] = None,
+    latest_ts: Optional[int] = None,
+):
+    """Literal hashmap transcription of the JVM loop (test oracle only)."""
+    scores_map: dict = {}
+    norm_map: dict = {}
+    for cid, cscore in zip(src_ids, src_scores):
+        if cid == int(PAD_ID) or cid < 0 or cid >= index_ids.shape[0]:
+            continue
+        for tid, tscore, ts in zip(index_ids[cid], index_scores[cid], index_ts[cid]):
+            if tid == int(PAD_ID):
+                continue
+            if earliest_ts is not None and ts < earliest_ts:
+                continue
+            if latest_ts is not None and ts > latest_ts:
+                continue
+            scores_map[tid] = scores_map.get(tid, 0.0) + float(tscore) * float(cscore)
+            norm_map[tid] = norm_map.get(tid, 0.0) + float(tscore) ** 2
+    src_l2 = float(np.sqrt(np.sum(np.asarray(src_scores, np.float64) ** 2)))
+    src_log = float(np.log1p(np.sum(np.asarray(src_scores, np.float64) ** 2)))
+    out = []
+    for tid, s in scores_map.items():
+        if algorithm == ScoringAlgorithm.DOT_PRODUCT:
+            v = s
+        elif algorithm == ScoringAlgorithm.COSINE:
+            v = s / src_l2 / np.sqrt(norm_map[tid])
+        elif algorithm == ScoringAlgorithm.LOG_COSINE:
+            v = s / src_log / np.log1p(norm_map[tid])
+        else:
+            v = s / np.sqrt(norm_map[tid])
+        if v >= min_score:
+            out.append((tid, v))
+    out.sort(key=lambda kv: -kv[1])
+    return out[:max_results]
