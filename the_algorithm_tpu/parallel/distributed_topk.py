@@ -50,6 +50,7 @@ def sharded_topk(
         mesh=mesh,
         in_specs=(in_spec, in_spec),
         out_specs=(out_spec, out_spec),
+        check_vma=False,  # all_gather output IS replicated over 'model'; VMA can't infer it
     )
     return fn(scores, payload)
 
@@ -83,5 +84,6 @@ def sharded_argtopk_batched(
         mesh=mesh,
         in_specs=(P(MODEL_AXIS),),
         out_specs=(P(), P()),
+        check_vma=False,  # all_gather output IS replicated over 'model'; VMA can't infer it
     )
     return fn(items)
