@@ -85,24 +85,18 @@ def _dedup_sum(
     return (rep_ids,) + tuple(out)
 
 
-def approximate_cosine_similarity(
+def accumulate_candidates(
     index: ClusterTweetIndex,
     source: SparseEmbedding,
     *,
-    max_results: int,
-    algorithm: ScoringAlgorithm = ScoringAlgorithm.COSINE,
-    min_score: float = 0.0,
     max_top_tweets_per_cluster: Optional[int] = None,
     exclude_tweet_id: Optional[jnp.ndarray] = None,
     earliest_ts: Optional[jnp.ndarray] = None,
     latest_ts: Optional[jnp.ndarray] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Single-query retrieval. Returns (tweet_ids[X], scores[X]).
-
-    Empty result slots have id PAD_ID and score -inf. ``source`` is the
-    query's SimClusters embedding truncated to its top-N scan clusters
-    (≡ config.maxScanClusters, prod N=50).
-    """
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The accumulation half of the scan: returns deduped
+    (tweet_ids, Σ tweetScore·srcScore, Σ tweetScore²) — raw partials, so
+    sharded callers can merge across shards before normalizing."""
     M = index.tweets_per_cluster
     if max_top_tweets_per_cluster is not None and max_top_tweets_per_cluster < M:
         M = max_top_tweets_per_cluster
@@ -127,28 +121,65 @@ def approximate_cosine_similarity(
     norm_part = jnp.where(valid, rows_scores * rows_scores, 0.0)
     flat_ids = jnp.where(valid, rows_ids, PAD_ID).reshape(-1)
 
-    uniq_ids, sum_contrib, sum_norm = _dedup_sum(
-        flat_ids, contrib.reshape(-1), norm_part.reshape(-1)
-    )
-    is_real = uniq_ids != PAD_ID
+    return _dedup_sum(flat_ids, contrib.reshape(-1), norm_part.reshape(-1))
 
-    # normalization per ScoringAlgorithm (ApproximateCosineSimilarity.scala:105-121)
+
+def normalize_scores(
+    sum_contrib: jnp.ndarray,
+    sum_norm: jnp.ndarray,
+    source_l2_norm: jnp.ndarray,
+    source_log_norm: jnp.ndarray,
+    algorithm: ScoringAlgorithm,
+) -> jnp.ndarray:
+    """≡ ApproximateCosineSimilarity.scala:105-121 per-algorithm scaling."""
     eps = 1e-30
     if algorithm == ScoringAlgorithm.DOT_PRODUCT:
-        score = sum_contrib
-    elif algorithm == ScoringAlgorithm.COSINE:
-        score = sum_contrib / jnp.maximum(
-            sparse.l2_norm(source) * jnp.sqrt(sum_norm), eps
+        return sum_contrib
+    if algorithm == ScoringAlgorithm.COSINE:
+        return sum_contrib / jnp.maximum(source_l2_norm * jnp.sqrt(sum_norm), eps)
+    if algorithm == ScoringAlgorithm.LOG_COSINE:
+        return sum_contrib / jnp.maximum(
+            source_log_norm * jnp.log1p(sum_norm), eps
         )
-    elif algorithm == ScoringAlgorithm.LOG_COSINE:
-        score = sum_contrib / jnp.maximum(
-            sparse.log_norm(source) * jnp.log1p(sum_norm), eps
-        )
-    elif algorithm == ScoringAlgorithm.COSINE_NO_SOURCE_NORM:
-        score = sum_contrib / jnp.maximum(jnp.sqrt(sum_norm), eps)
-    else:  # pragma: no cover
-        raise ValueError(f"unknown algorithm {algorithm}")
+    if algorithm == ScoringAlgorithm.COSINE_NO_SOURCE_NORM:
+        return sum_contrib / jnp.maximum(jnp.sqrt(sum_norm), eps)
+    raise ValueError(f"unknown algorithm {algorithm}")  # pragma: no cover
 
+
+def approximate_cosine_similarity(
+    index: ClusterTweetIndex,
+    source: SparseEmbedding,
+    *,
+    max_results: int,
+    algorithm: ScoringAlgorithm = ScoringAlgorithm.COSINE,
+    min_score: float = 0.0,
+    max_top_tweets_per_cluster: Optional[int] = None,
+    exclude_tweet_id: Optional[jnp.ndarray] = None,
+    earliest_ts: Optional[jnp.ndarray] = None,
+    latest_ts: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-query retrieval. Returns (tweet_ids[X], scores[X]).
+
+    Empty result slots have id PAD_ID and score -inf. ``source`` is the
+    query's SimClusters embedding truncated to its top-N scan clusters
+    (≡ config.maxScanClusters, prod N=50).
+    """
+    uniq_ids, sum_contrib, sum_norm = accumulate_candidates(
+        index,
+        source,
+        max_top_tweets_per_cluster=max_top_tweets_per_cluster,
+        exclude_tweet_id=exclude_tweet_id,
+        earliest_ts=earliest_ts,
+        latest_ts=latest_ts,
+    )
+    is_real = uniq_ids != PAD_ID
+    score = normalize_scores(
+        sum_contrib,
+        sum_norm,
+        sparse.l2_norm(source),
+        sparse.log_norm(source),
+        algorithm,
+    )
     neg_inf = jnp.float32(-jnp.inf)
     score = jnp.where(is_real & (score >= min_score), score, neg_inf)
 

@@ -1,0 +1,198 @@
+"""SimClusters-ANN "service": config + query path + sharded execution.
+
+≡ the simclusters-ann Thrift service
+(``simclusters-ann/server/.../SimClustersANNCandidateSource.scala:35-95``,
+thrift API ``simclusters-ann/thrift/.../simClustersAnn.thrift:8-60``,
+per-variant prod config ``modules/ClusterConfigModule.scala``): fetch the
+source embedding, truncate to maxScanClusters, multiget cluster rows, score,
+filter, top-X.
+
+TPU re-design: the service is a jitted function over a device-resident
+:class:`ClusterTweetIndex`; the "multiget" is a gather (single shard) or a
+shard_map over a cluster-row-sharded index with an all-gather candidate merge
+(the Earlybird-root fan-out pattern, SURVEY.md §2.3). Prod parameters
+(``simclusters-ann/README.md:7,23-33``): N=50 scan clusters, M=400
+tweets/cluster, X=200 results, cosine threshold ≈0.7.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from the_algorithm_tpu.core.mesh import MODEL_AXIS
+from the_algorithm_tpu.ops import retrieval, sparse
+from the_algorithm_tpu.ops.retrieval import ClusterTweetIndex, ScoringAlgorithm
+from the_algorithm_tpu.ops.sparse import PAD_ID, SparseEmbedding
+
+
+@dataclasses.dataclass(frozen=True)
+class SimClustersANNConfig:
+    """≡ thrift ``SimClustersANNConfig`` (simClustersAnn.thrift:18-28)."""
+
+    max_scan_clusters: int = 50  # N
+    max_top_tweets_per_cluster: int = 400  # M
+    max_num_results: int = 200  # X
+    min_score: float = 0.0
+    scoring_algorithm: ScoringAlgorithm = ScoringAlgorithm.COSINE
+    max_tweet_candidate_age_hours: int = 48
+    min_tweet_candidate_age_hours: int = 0
+
+
+def get_tweet_candidates(
+    index: ClusterTweetIndex,
+    source_embedding: SparseEmbedding,
+    config: SimClustersANNConfig,
+    *,
+    now: Optional[jnp.ndarray] = None,
+    exclude_tweet_id: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-shard query path (``SimClustersANNCandidateSource.get:35-64``)."""
+    src = sparse.truncate(source_embedding, config.max_scan_clusters)
+    earliest = latest = None
+    if now is not None:
+        earliest = now - config.max_tweet_candidate_age_hours * 3600
+        latest = now - config.min_tweet_candidate_age_hours * 3600
+    return retrieval.approximate_cosine_similarity(
+        index,
+        src,
+        max_results=config.max_num_results,
+        algorithm=config.scoring_algorithm,
+        min_score=config.min_score,
+        max_top_tweets_per_cluster=config.max_top_tweets_per_cluster,
+        exclude_tweet_id=exclude_tweet_id,
+        earliest_ts=earliest,
+        latest_ts=latest,
+    )
+
+
+def get_tweet_candidates_batch(
+    index: ClusterTweetIndex,
+    sources: SparseEmbedding,  # [Q, N]
+    config: SimClustersANNConfig,
+    *,
+    now: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    fn = functools.partial(get_tweet_candidates, index, config=config, now=now)
+    return jax.vmap(lambda s: fn(s))(sources)
+
+
+# -- sharded execution -------------------------------------------------------
+
+
+def shard_index(mesh: Mesh, index: ClusterTweetIndex) -> ClusterTweetIndex:
+    """Place the index cluster-row-sharded over the 'model' axis."""
+    sh = NamedSharding(mesh, P(MODEL_AXIS, None))
+    return ClusterTweetIndex(
+        jax.device_put(index.tweet_ids, sh),
+        jax.device_put(index.scores, sh),
+        jax.device_put(index.timestamps, sh),
+    )
+
+
+def get_tweet_candidates_sharded(
+    mesh: Mesh,
+    index: ClusterTweetIndex,  # cluster-row-sharded P('model', None)
+    sources: SparseEmbedding,  # [Q, N] replicated queries
+    config: SimClustersANNConfig,
+    *,
+    now: Optional[jnp.ndarray] = None,
+    partials_per_shard: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sharded query — the Earlybird-root fan-out as one XLA program.
+
+    Each shard accumulates raw (tweetId, Σ dot, Σ norm²) partials over the
+    cluster rows it owns; partials all-gather over 'model'; the merge
+    **re-accumulates by tweet id** (sort + segment-sum), so a tweet whose
+    contributing clusters span shards scores identically to the single-shard
+    path; then normalize / filter / top-X. Exact when every surviving
+    candidate appears in some shard's top-``partials_per_shard`` partials
+    (guaranteed when partials_per_shard ≥ N·M scanned entries per shard).
+    """
+    n_shards = mesh.shape[MODEL_AXIS]
+    C = index.num_clusters
+    if C % n_shards != 0:
+        raise ValueError(f"{C} clusters not divisible by {n_shards} shards")
+    rows_per_shard = C // n_shards
+    X = config.max_num_results
+    M = min(config.max_top_tweets_per_cluster, index.tweets_per_cluster)
+    R = partials_per_shard or min(
+        config.max_scan_clusters * M, max(4 * X, 512)
+    )
+
+    earliest = latest = None
+    if now is not None:
+        earliest = now - config.max_tweet_candidate_age_hours * 3600
+        latest = now - config.min_tweet_candidate_age_hours * 3600
+
+    def local(t_ids, t_scores, t_ts, src_ids, src_scores, src_l2, src_log):
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        offset = shard * rows_per_shard
+        local_index = ClusterTweetIndex(t_ids, t_scores, t_ts)
+
+        def one_query(ids, scores, l2, log):
+            local_cid = ids - offset
+            own = (ids != PAD_ID) & (local_cid >= 0) & (local_cid < rows_per_shard)
+            src = SparseEmbedding(
+                jnp.where(own, local_cid, PAD_ID),
+                jnp.where(own, scores, 0.0),
+            )
+            uniq, dot, norm = retrieval.accumulate_candidates(
+                local_index, src,
+                max_top_tweets_per_cluster=config.max_top_tweets_per_cluster,
+                earliest_ts=earliest, latest_ts=latest,
+            )
+            # keep top-R partials by dot (bandwidth cap for the gather)
+            key = jnp.where(uniq != PAD_ID, dot, -jnp.inf)
+            k = min(R, key.shape[0])
+            _, idx = jax.lax.top_k(key, k)
+            return uniq[idx], dot[idx], norm[idx]
+
+        uniq, dot, norm = jax.vmap(one_query)(
+            src_ids, src_scores, src_l2, src_log
+        )  # [Q, R]
+        # fan-in: gather partials from every shard, re-merge by tweet id
+        g_ids = jax.lax.all_gather(uniq, MODEL_AXIS, axis=1, tiled=True)
+        g_dot = jax.lax.all_gather(dot, MODEL_AXIS, axis=1, tiled=True)
+        g_norm = jax.lax.all_gather(norm, MODEL_AXIS, axis=1, tiled=True)
+
+        def merge_query(ids, dots, norms, l2, log):
+            uniq2, dot2, norm2 = retrieval._dedup_sum(ids, dots, norms)
+            score = retrieval.normalize_scores(
+                dot2, norm2, l2, log, config.scoring_algorithm
+            )
+            is_real = uniq2 != PAD_ID
+            score = jnp.where(
+                is_real & (score >= config.min_score), score, -jnp.inf
+            )
+            ts, ti = jax.lax.top_k(score, X)
+            return jnp.where(jnp.isfinite(ts), uniq2[ti], PAD_ID), ts
+
+        return jax.vmap(merge_query)(g_ids, g_dot, g_norm, src_l2, src_log)
+
+    src = SparseEmbedding(
+        sources.ids[:, : config.max_scan_clusters],
+        sources.scores[:, : config.max_scan_clusters],
+    )
+    src_l2 = jax.vmap(sparse.l2_norm)(src)
+    src_log = jax.vmap(sparse.log_norm)(src)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(MODEL_AXIS, None), P(MODEL_AXIS, None), P(MODEL_AXIS, None),
+            P(), P(), P(), P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,  # all_gather output is replicated over 'model'
+    )
+    return fn(
+        index.tweet_ids, index.scores, index.timestamps,
+        src.ids, src.scores, src_l2, src_log,
+    )
