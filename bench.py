@@ -1,0 +1,173 @@
+"""Official benchmark: SANN retrieval recall@100 + queries/s/chip.
+
+Builds a prod-shaped synthetic SimClusters index (cluster→top-M tweets
+derived from a sparse tweet-embedding table), runs the fused retrieval scan
+batched, and reports:
+
+  - recall@100 of the approximate scan vs. exact brute-force cosine over the
+    full tweet table (the ANN-loadtest truth definition,
+    ``ann/.../loadtest/LoadTestRecorder.scala:16-60``)
+  - queries/s/chip at batch-Q steady state
+
+Prints ONE JSON line. vs_baseline compares q/s on this single chip against
+the reference's >6000 RPS *whole prod JVM fleet* through the same path
+(``simclusters-ann/README.md:15``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from the_algorithm_tpu.ops import retrieval, sparse
+from the_algorithm_tpu.ops.retrieval import ClusterTweetIndex, ScoringAlgorithm
+from the_algorithm_tpu.ops.sparse import PAD_ID, SparseEmbedding
+from the_algorithm_tpu.simclusters import ann
+from the_algorithm_tpu.training import metrics
+
+# prod-shaped operating point (simclusters-ann/README.md:7,23-33)
+C = 8192  # clusters (prod: 145k; scaled so the bench fits one chip's HBM comfortably)
+M = 400  # tweets per cluster (prod M=400)
+N = 50  # scan clusters (prod N=50)
+X = 200  # results (prod X=200)
+T = 200_000  # tweet corpus
+KT = 16  # clusters per tweet embedding
+Q = 256  # query batch
+K_RECALL = 100
+
+
+def build_corpus(seed=0):
+    """Sparse tweet embeddings clustered into communities + derived index."""
+    rng = np.random.default_rng(seed)
+    n_comm = 64
+    comm_clusters = rng.integers(0, C, size=(n_comm, 4 * KT))
+    tweet_comm = rng.integers(0, n_comm, T)
+    ids = np.empty((T, KT), np.int64)
+    for t in range(T):
+        ids[t] = rng.choice(comm_clusters[tweet_comm[t]], KT, replace=False)
+    scores = rng.uniform(0.1, 1.0, size=(T, KT)).astype(np.float32)
+    return ids.astype(np.int32), scores, tweet_comm, comm_clusters
+
+
+def build_index(tweet_ids, tweet_scores):
+    """cluster→top-M rows from the tweet table (host-side, numpy)."""
+    flat_c = tweet_ids.reshape(-1)
+    flat_s = tweet_scores.reshape(-1)
+    flat_t = np.repeat(np.arange(T, dtype=np.int32), KT)
+    order = np.lexsort((-flat_s, flat_c))
+    fc, fs, ft = flat_c[order], flat_s[order], flat_t[order]
+    idx_ids = np.full((C, M), int(PAD_ID), np.int32)
+    idx_scores = np.zeros((C, M), np.float32)
+    start = np.searchsorted(fc, np.arange(C))
+    end = np.searchsorted(fc, np.arange(C) + 1)
+    for c in range(C):
+        n = min(end[c] - start[c], M)
+        idx_ids[c, :n] = ft[start[c] : start[c] + n]
+        idx_scores[c, :n] = fs[start[c] : start[c] + n]
+    ts = np.zeros((C, M), np.int32)
+    return idx_ids, idx_scores, ts
+
+
+def exact_topk(queries_ids, queries_scores, tweet_ids, tweet_scores, k):
+    """Brute-force cosine truth via sparse→dense scatter matmul on device."""
+    q_dense = np.zeros((Q, C), np.float32)
+    for q in range(Q):
+        q_dense[q, queries_ids[q]] = queries_scores[q]
+    q_dense /= np.maximum(np.linalg.norm(q_dense, axis=1, keepdims=True), 1e-9)
+
+    t_norm = np.sqrt((tweet_scores**2).sum(axis=1))
+
+    qd = jnp.asarray(q_dense)
+    ti = jnp.asarray(tweet_ids)
+    tsc = jnp.asarray(tweet_scores)
+    tn = jnp.asarray(np.maximum(t_norm, 1e-9))
+
+    @jax.jit
+    def score_all():
+        # gather query weights at each tweet's clusters: [Q, T, KT] is too
+        # big; do it as scatter to dense tweet matrix in blocks
+        def block(carry, start):
+            ti_b = jax.lax.dynamic_slice_in_dim(ti, start, 4096, axis=0)
+            ts_b = jax.lax.dynamic_slice_in_dim(tsc, start, 4096, axis=0)
+            tn_b = jax.lax.dynamic_slice_in_dim(tn, start, 4096, axis=0)
+            qw = qd[:, ti_b.reshape(-1)].reshape(Q, 4096, KT)
+            s = jnp.einsum("qtk,tk->qt", qw, ts_b) / tn_b[None, :]
+            return carry, s
+
+        _, blocks = jax.lax.scan(
+            block, None, jnp.arange(0, T, 4096)
+        )
+        scores = jnp.moveaxis(blocks, 0, 1).reshape(Q, -1)[:, :T]
+        return jax.lax.top_k(scores, k)
+
+    _, top_ids = jax.block_until_ready(score_all())
+    return np.asarray(top_ids)
+
+
+def main():
+    tweet_ids, tweet_scores, tweet_comm, comm_clusters = build_corpus()
+    idx_ids, idx_scores, idx_ts = build_index(tweet_ids, tweet_scores)
+    index = ClusterTweetIndex(
+        jnp.asarray(idx_ids), jnp.asarray(idx_scores), jnp.asarray(idx_ts)
+    )
+
+    rng = np.random.default_rng(1)
+    # queries: community-flavored user embeddings (top-N clusters)
+    q_comm = rng.integers(0, comm_clusters.shape[0], Q)
+    q_ids = np.empty((Q, N), np.int64)
+    for q in range(Q):
+        q_ids[q] = rng.choice(comm_clusters[q_comm[q]], N, replace=False)
+    q_scores = rng.uniform(0.2, 1.0, (Q, N)).astype(np.float32)
+    sources = SparseEmbedding(
+        jnp.asarray(q_ids.astype(np.int32)), jnp.asarray(q_scores)
+    )
+
+    cfg = ann.SimClustersANNConfig(
+        max_scan_clusters=N, max_top_tweets_per_cluster=M, max_num_results=X,
+        scoring_algorithm=ScoringAlgorithm.COSINE,
+    )
+    query_fn = jax.jit(
+        lambda s: ann.get_tweet_candidates_batch(index, s, cfg)
+    )
+    ids_out, _ = jax.block_until_ready(query_fn(sources))  # compile
+    t0 = time.time()
+    reps = 5
+    for _ in range(reps):
+        ids_out, scores_out = jax.block_until_ready(query_fn(sources))
+    dt = (time.time() - t0) / reps
+    qps = Q / dt
+
+    truth = exact_topk(q_ids, q_scores, tweet_ids, tweet_scores, K_RECALL)
+    recall = float(
+        metrics.recall_at_k(
+            jnp.asarray(np.asarray(ids_out)[:, :K_RECALL]),
+            jnp.asarray(truth),
+            pad_id=int(PAD_ID),
+        )
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "sann_retrieval",
+                "value": round(qps, 1),
+                "unit": "queries/s/chip",
+                "vs_baseline": round(qps / 6000.0, 3),
+                "recall_at_100": round(recall, 4),
+                "batch": Q,
+                "index_shape": [C, M],
+                "scan": [N, X],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,221 @@
+"""Feature-subsystem tests: RSX engagement similarity, USS store, GFS
+intersections, aggregation framework decayed counters."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from the_algorithm_tpu.features import (
+    aggregation as agg,
+    graph_features as gfs,
+    representation_scorer as rsx,
+    user_signals as uss,
+)
+from the_algorithm_tpu.ops.sparse import PAD_ID, SparseEmbedding
+
+
+def emb(d, K=8):
+    ids = np.full(K, PAD_ID, np.int32)
+    sc = np.zeros(K, np.float32)
+    for i, (k, v) in enumerate(sorted(d.items(), key=lambda kv: -kv[1])[:K]):
+        ids[i], sc[i] = k, v
+    return ids, sc
+
+
+class TestRepresentationScorer:
+    def test_engagement_similarity(self):
+        cand_ids, cand_sc = emb({1: 1.0})
+        candidates = SparseEmbedding(
+            jnp.asarray(cand_ids[None]), jnp.asarray(cand_sc[None])
+        )
+        # two fav engagements: one identical embedding (cos 1), one disjoint (cos 0)
+        e1 = emb({1: 0.5})
+        e2 = emb({2: 0.5})
+        engagements = rsx.EngagementSet(
+            embeddings=SparseEmbedding(
+                jnp.asarray(np.stack([e1[0], e2[0]])),
+                jnp.asarray(np.stack([e1[1], e2[1]])),
+            ),
+            signal_type=jnp.asarray([0, 0], jnp.int32),  # fav
+            timestamp=jnp.asarray([1000, 1000], jnp.int32),
+            valid=jnp.asarray([True, True]),
+        )
+        out = rsx.engagement_similarity_features(
+            candidates, engagements, now=jnp.int32(2000)
+        )
+        assert float(out["fav_7d_max"][0]) == pytest.approx(1.0, abs=1e-6)
+        assert float(out["fav_7d_min"][0]) == pytest.approx(0.0, abs=1e-6)
+        assert float(out["fav_7d_avg"][0]) == pytest.approx(0.5, abs=1e-6)
+        # no retweet signals → zeros
+        assert float(out["retweet_7d_max"][0]) == 0.0
+
+    def test_window_filtering(self):
+        cand = SparseEmbedding(
+            jnp.asarray(emb({1: 1.0})[0][None]), jnp.asarray(emb({1: 1.0})[1][None])
+        )
+        e = emb({1: 1.0})
+        engagements = rsx.EngagementSet(
+            embeddings=SparseEmbedding(jnp.asarray(e[0][None]), jnp.asarray(e[1][None])),
+            signal_type=jnp.asarray([0], jnp.int32),
+            timestamp=jnp.asarray([0], jnp.int32),  # 2 days old
+            valid=jnp.asarray([True]),
+        )
+        now = jnp.int32(2 * 86400)
+        out = rsx.engagement_similarity_features(cand, engagements, now)
+        assert float(out["fav_7d_max"][0]) == pytest.approx(1.0)
+        assert float(out["fav_1d_max"][0]) == 0.0  # outside 1d window
+
+    def test_pair_score_store_kinds(self):
+        a = SparseEmbedding(*map(jnp.asarray, emb({1: 0.6, 2: 0.4})))
+        b = SparseEmbedding(*map(jnp.asarray, emb({1: 0.5, 3: 0.5})))
+        dot = float(rsx.PairScoreStore("dot")(a, b))
+        assert dot == pytest.approx(0.3, rel=1e-5)
+        blended = rsx.weighted_sum_score(
+            {"dot": jnp.asarray(dot), "cosine": jnp.asarray(0.5)},
+            {"dot": 2.0, "cosine": 1.0},
+        )
+        assert float(blended) == pytest.approx(1.1, rel=1e-5)
+
+
+class TestUserSignals:
+    def test_record_and_fetch(self):
+        store = uss.init_store(4, width=4)
+        store = uss.record(
+            store,
+            np.array([1, 1, 1]),
+            np.array([int(uss.SignalType.TWEET_FAVORITE)] * 3),
+            np.array([100, 101, 102]),
+            np.array([10, 20, 30]),
+        )
+        ids, ts, valid = uss.fetch(store, jnp.int32(1), uss.SignalType.TWEET_FAVORITE)
+        got = [(int(i), int(t)) for i, t, v in zip(ids, ts, valid) if v]
+        assert got == [(102, 30), (101, 20), (100, 10)]  # newest first
+
+    def test_ring_buffer_eviction(self):
+        store = uss.init_store(2, width=2)
+        store = uss.record(
+            store,
+            np.zeros(3, int),
+            np.array([int(uss.SignalType.RETWEET)] * 3),
+            np.array([1, 2, 3]),
+            np.array([1, 2, 3]),
+        )
+        ids, _, valid = uss.fetch(store, jnp.int32(0), uss.SignalType.RETWEET)
+        assert [int(i) for i, v in zip(ids, valid) if v] == [3, 2]
+
+    def test_min_timestamp_filter(self):
+        store = uss.init_store(2, width=4)
+        store = uss.record(
+            store,
+            np.array([0, 0]),
+            np.array([int(uss.SignalType.TWEET_SHARE)] * 2),
+            np.array([5, 6]),
+            np.array([100, 200]),
+        )
+        ids, _, valid = uss.fetch(
+            store, jnp.int32(0), uss.SignalType.TWEET_SHARE,
+            min_timestamp=jnp.int32(150),
+        )
+        assert [int(i) for i, v in zip(ids, valid) if v] == [6]
+
+    def test_fetch_engagement_tweets_concat(self):
+        store = uss.init_store(2, width=2)
+        store = uss.record(
+            store,
+            np.array([0, 0]),
+            np.array([int(uss.SignalType.TWEET_FAVORITE), int(uss.SignalType.REPLY)]),
+            np.array([11, 22]),
+            np.array([1, 2]),
+        )
+        ids, ts, valid, types = uss.fetch_engagement_tweets(
+            store, jnp.int32(0),
+            [uss.SignalType.TWEET_FAVORITE, uss.SignalType.REPLY],
+        )
+        got = {(int(i), int(t)) for i, t, v in zip(ids, types, valid) if v}
+        assert got == {(11, int(uss.SignalType.TWEET_FAVORITE)), (22, int(uss.SignalType.REPLY))}
+
+
+class TestGraphFeatures:
+    def _tables(self):
+        U, D = 6, 4
+        n = np.full((len(gfs.EdgeType), U, D), int(PAD_ID), np.int32)
+        # user 0 follows 1, 2, 3
+        n[int(gfs.EdgeType.FOLLOWING), 0, :3] = [1, 2, 3]
+        # author 5 favorited-by 2, 3, 4
+        n[int(gfs.EdgeType.FAVORITED_BY), 5, :3] = [2, 3, 4]
+        # author 4 favorited-by 1
+        n[int(gfs.EdgeType.FAVORITED_BY), 4, :1] = [1]
+        return gfs.GraphTables(jnp.asarray(n))
+
+    def test_intersection_counts(self):
+        tables = self._tables()
+        counts, degree = gfs.get_intersection(
+            tables, jnp.int32(0), jnp.asarray([5, 4], jnp.int32),
+            gfs.EdgeType.FOLLOWING, gfs.EdgeType.FAVORITED_BY,
+        )
+        assert [int(c) for c in counts] == [2, 1]  # {2,3} and {1}
+        assert int(degree) == 3
+
+    def test_feature_block_normalization(self):
+        tables = self._tables()
+        out = gfs.feature_block(tables, jnp.int32(0), jnp.asarray([5], jnp.int32))
+        assert float(out["follows_who_favorited"][0]) == 2.0
+        assert float(out["follows_who_favorited_normalized"][0]) == pytest.approx(2 / 3)
+
+
+class TestAggregation:
+    GROUP = agg.AggregateGroup(
+        name="user_author",
+        features=("fav_count",),
+        labels=("any", "is_favorited"),
+        metrics=("count", "sum", "max"),
+        half_lives_s=(100.0,),
+    )
+
+    def test_output_names(self):
+        names = self.GROUP.output_names()
+        assert len(names) == self.GROUP.n_outputs == 6
+        assert "user_author.fav_count.is_favorited.sum.100s" in names
+
+    def test_update_and_read(self):
+        store = agg.init_store(self.GROUP, capacity=8)
+        rows = jnp.asarray([0, 0, 1], jnp.int32)
+        feats = jnp.asarray([[2.0], [3.0], [10.0]])
+        labels = jnp.asarray([[1.0, 1.0], [1.0, 0.0], [1.0, 1.0]])
+        ts = jnp.asarray([10, 10, 10], jnp.int32)
+        store = agg.update(self.GROUP, store, rows, feats, labels, ts)
+        out = agg.read(self.GROUP, store, jnp.asarray([0, 1], jnp.int32), jnp.int32(10))
+        names = self.GROUP.output_names()
+        row0 = dict(zip(names, np.asarray(out[0])))
+        assert row0["user_author.fav_count.any.count.100s"] == 2.0
+        assert row0["user_author.fav_count.any.sum.100s"] == 5.0
+        assert row0["user_author.fav_count.any.max.100s"] == 3.0
+        assert row0["user_author.fav_count.is_favorited.sum.100s"] == 2.0
+
+    def test_half_life_decay(self):
+        store = agg.init_store(self.GROUP, capacity=4)
+        rows = jnp.asarray([0], jnp.int32)
+        store = agg.update(
+            self.GROUP, store, rows, jnp.asarray([[4.0]]),
+            jnp.asarray([[1.0, 0.0]]), jnp.asarray([0], jnp.int32),
+        )
+        # one half-life later: everything halves
+        out = agg.read(self.GROUP, store, rows, jnp.int32(100))
+        names = self.GROUP.output_names()
+        row = dict(zip(names, np.asarray(out[0])))
+        assert row["user_author.fav_count.any.sum.100s"] == pytest.approx(2.0)
+        # update at t=100 decays old then adds
+        store = agg.update(
+            self.GROUP, store, rows, jnp.asarray([[4.0]]),
+            jnp.asarray([[1.0, 0.0]]), jnp.asarray([100], jnp.int32),
+        )
+        out = agg.read(self.GROUP, store, rows, jnp.int32(100))
+        row = dict(zip(names, np.asarray(out[0])))
+        assert row["user_author.fav_count.any.sum.100s"] == pytest.approx(6.0)
+
+    def test_key_resolver(self):
+        kr = agg.KeyResolver(capacity=2)
+        rows = kr.resolve([(1, 2), (3, 4), (1, 2)])
+        assert list(rows) == [0, 1, 0]
+        with pytest.raises(KeyError):
+            kr.resolve([(5, 6)])

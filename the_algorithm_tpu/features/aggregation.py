@@ -1,0 +1,197 @@
+"""Timelines aggregation framework: grouped decayed-counter features.
+
+≡ ``timelines/data_processing/ml_util/aggregation_framework/`` — an
+``AggregateGroup`` is (keys × features × labels × metrics × half-lives)
+(``AggregateGroup.scala``, ``TypedAggregateGroup.scala``); metrics are
+count/sum/sumsq/max/latest (``metrics/*.scala``) with exponential half-life
+decay (``metrics/AggregationMetricCommon.toDecayedValue:21``); outputs feed
+the heavy ranker as DataRecord features (Timelines configs:
+``TimelinesAggregationConfigDetails.scala``, realtime variant
+``real_time/TimelinesOnlineAggregationConfigBase.scala``).
+
+TPU design: each group is a device-resident [capacity, n_outputs] float32
+table plus per-row last-update timestamps; updates are scatter-adds with
+decay folded in, reads decay to `now` — both jittable. Key→row assignment
+(the "group by" of the Scalding/Heron jobs) happens on the host via a dict
+(the memcache-key analog).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+METRICS = ("count", "sum", "sumsq", "max")
+
+
+@dataclasses.dataclass(frozen=True)
+class AggregateGroup:
+    """≡ ``AggregateGroup.scala``: the cross-product spec."""
+
+    name: str
+    features: Tuple[str, ...]  # continuous inputs (e.g. "fav_count")
+    labels: Tuple[str, ...]  # binary conditions (e.g. "is_favorited"); "any" = unconditioned
+    metrics: Tuple[str, ...] = ("count", "sum")
+    half_lives_s: Tuple[float, ...] = (50 * 86400.0,)  # 50-day default
+
+    def output_names(self) -> List[str]:
+        """≡ TypedAggregateGroup feature naming."""
+        out = []
+        for f, l, m, hl in itertools.product(
+            self.features, self.labels, self.metrics, self.half_lives_s
+        ):
+            out.append(f"{self.name}.{f}.{l}.{m}.{_hl_name(hl)}")
+        return out
+
+    @property
+    def n_outputs(self) -> int:
+        return (
+            len(self.features)
+            * len(self.labels)
+            * len(self.metrics)
+            * len(self.half_lives_s)
+        )
+
+
+def _hl_name(hl: float) -> str:
+    return f"{int(hl // 86400)}d" if hl >= 86400 else f"{int(hl)}s"
+
+
+class AggregateStore(NamedTuple):
+    values: jnp.ndarray  # [capacity, n_outputs]
+    last_ts: jnp.ndarray  # [capacity] int32
+
+
+def init_store(group: AggregateGroup, capacity: int) -> AggregateStore:
+    return AggregateStore(
+        jnp.zeros((capacity, group.n_outputs), jnp.float32),
+        jnp.zeros((capacity,), jnp.int32),
+    )
+
+
+def _layout(group: AggregateGroup):
+    """index math: output column for (f_idx, l_idx, m_idx, h_idx)."""
+    nl, nm, nh = len(group.labels), len(group.metrics), len(group.half_lives_s)
+
+    def col(f, l, m, h):
+        return ((f * nl + l) * nm + m) * nh + h
+
+    return col
+
+
+def update(
+    group: AggregateGroup,
+    store: AggregateStore,
+    row_ids: jnp.ndarray,  # [B] int32 pre-resolved key rows
+    feature_values: jnp.ndarray,  # [B, F]
+    label_values: jnp.ndarray,  # [B, L] in {0,1}
+    timestamps: jnp.ndarray,  # [B] int32 (non-decreasing)
+) -> AggregateStore:
+    """Fold an event batch into the store (decay at each touched row).
+
+    Decays each touched row to the batch max timestamp then adds the batch's
+    contributions (events within the batch are treated as simultaneous at
+    batch time — the realtime Heron job's micro-batching semantics).
+    """
+    col = _layout(group)
+    now = jnp.max(timestamps)
+    B = row_ids.shape[0]
+    F, L = len(group.features), len(group.labels)
+
+    # build per-event contribution matrix [B, n_outputs]
+    contrib = jnp.zeros((B, group.n_outputs), jnp.float32)
+    is_max = jnp.zeros((group.n_outputs,), bool)
+    for f in range(F):
+        x = feature_values[:, f]
+        for l in range(L):
+            gate = label_values[:, l]
+            for m, metric in enumerate(group.metrics):
+                if metric == "count":
+                    v = gate
+                elif metric == "sum":
+                    v = x * gate
+                elif metric == "sumsq":
+                    v = x * x * gate
+                elif metric == "max":
+                    v = x * gate
+                else:
+                    # LatestMetric/LastResetMetric need set-semantics that
+                    # conflict with batched scatter; not yet supported
+                    raise ValueError(f"unsupported metric {metric}")
+                for h in range(len(group.half_lives_s)):
+                    c = col(f, l, m, h)
+                    contrib = contrib.at[:, c].set(v)
+                    if metric == "max":
+                        is_max = is_max.at[c].set(True)
+
+    # decay touched rows to `now` per half-life column
+    hl_cols = jnp.asarray(
+        [
+            group.half_lives_s[h]
+            for f in range(F)
+            for l in range(L)
+            for m in range(len(group.metrics))
+            for h in range(len(group.half_lives_s))
+        ],
+        jnp.float32,
+    )
+    dt = (now - store.last_ts[row_ids]).astype(jnp.float32)  # [B]
+    decay = jnp.exp2(-dt[:, None] / hl_cols[None, :])  # [B, n_outputs]
+
+    old_rows = store.values[row_ids] * decay
+    # additive metrics scatter-add; max metrics scatter-max
+    add_contrib = jnp.where(is_max[None, :], 0.0, contrib)
+    max_contrib = jnp.where(is_max[None, :], contrib, -jnp.inf)
+
+    values = store.values.at[row_ids].set(old_rows)
+    values = values.at[row_ids].add(add_contrib)
+    values = values.at[row_ids].max(max_contrib)
+    last_ts = store.last_ts.at[row_ids].set(now.astype(jnp.int32))
+    return AggregateStore(values, last_ts)
+
+
+def read(
+    group: AggregateGroup,
+    store: AggregateStore,
+    row_ids: jnp.ndarray,  # [B]
+    now: jnp.ndarray,
+) -> jnp.ndarray:
+    """[B, n_outputs] decayed to ``now`` — the DataRecord hydration read."""
+    col = _layout(group)
+    F, L = len(group.features), len(group.labels)
+    hl_cols = jnp.asarray(
+        [
+            group.half_lives_s[h]
+            for f in range(F)
+            for l in range(L)
+            for m in range(len(group.metrics))
+            for h in range(len(group.half_lives_s))
+        ],
+        jnp.float32,
+    )
+    dt = (now - store.last_ts[row_ids]).astype(jnp.float32)
+    decay = jnp.exp2(-dt[:, None] / hl_cols[None, :])
+    return store.values[row_ids] * decay
+
+
+class KeyResolver:
+    """Host-side key→row assignment (the group-by / memcache-key layer)."""
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self._map: Dict[Tuple, int] = {}
+
+    def resolve(self, keys: Sequence[Tuple]) -> np.ndarray:
+        out = np.empty(len(keys), np.int32)
+        for i, k in enumerate(keys):
+            if k not in self._map:
+                if len(self._map) >= self.capacity:
+                    raise KeyError("aggregate store capacity exhausted")
+                self._map[k] = len(self._map)
+            out[i] = self._map[k]
+        return out

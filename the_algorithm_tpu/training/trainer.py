@@ -1,0 +1,191 @@
+"""The training loop: data-parallel pjit with sharded params and checkpoints.
+
+Replaces twml's Estimator wrapper (``twml/twml/trainers/trainer.py:131`` —
+chief/worker/PS cluster specs :488-530, hogwild :414-447, checkpointing
+:150-413, ``learn``:946, ``train_and_evaluate``:1194) with the TPU-native
+shape: **synchronous DP** over the 'data' mesh axis (psum'd grads via
+sharding constraints — no parameter servers, no hogwild), embedding tables
+sharded over 'model' (the PS-variable-partitioner analog, SURVEY.md §2.3),
+optimizer state sharded like the params, orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from the_algorithm_tpu.core.mesh import DATA_AXIS
+from the_algorithm_tpu.core.metrics import NullStats, StatsReceiver
+from the_algorithm_tpu.core.partition import match_partition_rules, tree_shardings
+
+LossFn = Callable[[Any, Any], Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]]
+# loss_fn(params, batch) -> (loss, aux_metrics)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    learning_rate: float = 1e-3
+    optimizer: str = "adam"  # adam | adagrad | sgd
+    weight_decay: float = 0.0
+    max_grad_norm: Optional[float] = None
+    checkpoint_dir: Optional[str] = None
+    keep_checkpoints: int = 3  # ≡ keep_checkpoint_max (trainer.py:150-413)
+    log_every: int = 100
+
+
+def make_optimizer(config: TrainerConfig) -> optax.GradientTransformation:
+    if config.optimizer == "adam":
+        tx = optax.adamw(config.learning_rate, weight_decay=config.weight_decay)
+    elif config.optimizer == "adagrad":
+        tx = optax.adagrad(config.learning_rate)
+    elif config.optimizer == "sgd":
+        tx = optax.sgd(config.learning_rate)
+    else:
+        raise ValueError(f"unknown optimizer {config.optimizer}")
+    if config.max_grad_norm:
+        tx = optax.chain(optax.clip_by_global_norm(config.max_grad_norm), tx)
+    return tx
+
+
+class Trainer:
+    """Generic sharded trainer.
+
+    ``partition_rules`` place parameters on the mesh (embedding tables →
+    P('model', None), dense → replicated); batches shard over 'data'. The
+    jitted step computes grads with XLA-inserted psums and applies the
+    optimizer in place (donated state).
+    """
+
+    def __init__(
+        self,
+        loss_fn: LossFn,
+        params: Any,
+        mesh: Mesh,
+        partition_rules,
+        config: TrainerConfig = TrainerConfig(),
+        stats: Optional[StatsReceiver] = None,
+    ):
+        self.loss_fn = loss_fn
+        self.mesh = mesh
+        self.config = config
+        self.stats = stats or NullStats()
+        self.tx = make_optimizer(config)
+
+        self.param_specs = match_partition_rules(partition_rules, params)
+        self.param_shardings = tree_shardings(mesh, self.param_specs)
+        self.params = jax.tree_util.tree_map(
+            jax.device_put, params, self.param_shardings
+        )
+        opt_state = self.tx.init(self.params)
+        # optimizer state inherits each param's sharding (sharded moments)
+        self.opt_state = opt_state
+        self.step = 0
+        self.batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        self._jit_step = self._build_step()
+        self._ckpt = None
+        if config.checkpoint_dir:
+            import orbax.checkpoint as ocp
+
+            self._ckpt = ocp.CheckpointManager(
+                os.path.abspath(config.checkpoint_dir),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=config.keep_checkpoints
+                ),
+            )
+
+    def _build_step(self):
+        tx = self.tx
+        loss_fn = self.loss_fn
+
+        def train_step(params, opt_state, batch):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            aux = dict(aux)
+            aux["loss"] = loss
+            return params, opt_state, aux
+
+        return jax.jit(train_step, donate_argnums=(0, 1))
+
+    def shard_batch(self, batch: Any) -> Any:
+        """Place a host batch data-sharded on the mesh (leading axis)."""
+        def put(x):
+            spec = P(DATA_AXIS, *([None] * (jnp.ndim(x) - 1)))
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        return jax.tree_util.tree_map(put, batch)
+
+    def train_step(self, batch: Any) -> Dict[str, float]:
+        batch = self.shard_batch(batch)
+        self.params, self.opt_state, aux = self._jit_step(
+            self.params, self.opt_state, batch
+        )
+        self.step += 1
+        if self.step % self.config.log_every == 0:
+            for k, v in aux.items():
+                self.stats.stat(f"train/{k}", float(v))
+        return aux
+
+    def fit(
+        self,
+        batches: Iterator[Any],
+        num_steps: int,
+        eval_fn: Optional[Callable[[Any], Dict[str, float]]] = None,
+        eval_every: Optional[int] = None,
+    ) -> Dict[str, float]:
+        """≡ ``Trainer.learn`` / ``train_and_evaluate`` (trainer.py:946,1194)."""
+        last: Dict[str, Any] = {}
+        for _ in range(num_steps):
+            batch = next(batches)
+            last = self.train_step(batch)
+            if (
+                eval_fn is not None
+                and eval_every
+                and self.step % eval_every == 0
+            ):
+                last.update(eval_fn(self.params))
+            if self._ckpt and self.step % max(self.config.log_every * 10, 1) == 0:
+                self.save()
+        return {k: float(v) for k, v in last.items()}
+
+    # -- checkpointing (tf.estimator checkpoints analog) --------------------
+
+    def save(self) -> None:
+        if self._ckpt is None:
+            raise ValueError("no checkpoint_dir configured")
+        import orbax.checkpoint as ocp
+
+        self._ckpt.save(
+            self.step,
+            args=ocp.args.Composite(
+                params=ocp.args.StandardSave(self.params),
+                opt_state=ocp.args.StandardSave(self.opt_state),
+            ),
+        )
+        self._ckpt.wait_until_finished()
+
+    def restore(self, step: Optional[int] = None) -> None:
+        if self._ckpt is None:
+            raise ValueError("no checkpoint_dir configured")
+        import orbax.checkpoint as ocp
+
+        step = step if step is not None else self._ckpt.latest_step()
+        restored = self._ckpt.restore(
+            step,
+            args=ocp.args.Composite(
+                params=ocp.args.StandardRestore(self.params),
+                opt_state=ocp.args.StandardRestore(self.opt_state),
+            ),
+        )
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.step = step
