@@ -68,10 +68,12 @@ def _dedup_sum(
     """Sort by id and collapse equal runs by summation.
 
     Returns (rep_ids, *summed) where non-representative slots are PAD_ID/0.
+    Uses one multi-operand lax.sort (key + carried values) instead of
+    argsort+gathers — one pass through the sort network.
     """
-    order = jnp.argsort(ids)
-    ids = ids[order]
-    values = tuple(v[order] for v in values)
+    sorted_all = jax.lax.sort((ids,) + tuple(values), num_keys=1)
+    ids = sorted_all[0]
+    values = sorted_all[1:]
     new_run = jnp.concatenate(
         [jnp.ones((1,), jnp.int32), (ids[1:] != ids[:-1]).astype(jnp.int32)]
     )
