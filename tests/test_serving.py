@@ -1,0 +1,154 @@
+"""Serving edge tests: dynamic batcher, model registry hot-swap, HTTP front."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from the_algorithm_tpu.serving.batcher import BatcherConfig, DynamicBatcher
+from the_algorithm_tpu.serving.model_registry import (
+    ModelRegistry,
+    load_params_npz,
+    save_params_npz,
+)
+from the_algorithm_tpu.serving.server import InferenceServer
+
+
+class TestDynamicBatcher:
+    def test_batches_concurrent_requests(self):
+        seen_sizes = []
+
+        def predict(x):
+            seen_sizes.append(x.shape[0])
+            return x * 2
+
+        b = DynamicBatcher(
+            predict, BatcherConfig(max_batch_size=64, max_delay_ms=30.0)
+        )
+        futs = [b.submit(np.full((1, 4), i, np.float32)) for i in range(8)]
+        outs = [f.result(timeout=5) for f in futs]
+        b.close()
+        for i, o in enumerate(outs):
+            np.testing.assert_allclose(o, np.full((1, 4), 2 * i))
+        # at least some requests coalesced into one padded batch
+        assert max(seen_sizes) >= 8
+
+    def test_deadline_fires_partial_batch(self):
+        def predict(x):
+            return x
+
+        b = DynamicBatcher(
+            predict, BatcherConfig(max_batch_size=1024, max_delay_ms=5.0)
+        )
+        t0 = time.perf_counter()
+        out = b.predict(np.ones((2, 3), np.float32), timeout=5)
+        dt = time.perf_counter() - t0
+        b.close()
+        assert out.shape == (2, 3)
+        assert dt < 1.0  # didn't wait for a full 1024 batch
+
+    def test_error_propagates(self):
+        def predict(x):
+            raise ValueError("model exploded")
+
+        b = DynamicBatcher(predict, BatcherConfig(max_delay_ms=1.0))
+        with pytest.raises(ValueError):
+            b.predict(np.ones((1, 2), np.float32), timeout=5)
+        b.close()
+
+
+class TestModelRegistry:
+    def test_loads_latest_version_and_hot_swaps(self, tmp_path):
+        root = str(tmp_path)
+        save_params_npz(f"{root}/ranker/1", {"w": np.ones(3)})
+        reg = ModelRegistry(root)
+        assert reg.scan_once() == ["ranker"]
+        assert reg.version("ranker") == 1
+        np.testing.assert_allclose(reg.get("ranker")["w"], 1.0)
+
+        save_params_npz(f"{root}/ranker/2", {"w": np.full(3, 5.0)})
+        assert reg.scan_once() == ["ranker"]
+        assert reg.version("ranker") == 2
+        np.testing.assert_allclose(reg.get("ranker")["w"], 5.0)
+        # no change → no reload
+        assert reg.scan_once() == []
+
+    def test_missing_model_raises(self, tmp_path):
+        reg = ModelRegistry(str(tmp_path))
+        with pytest.raises(KeyError):
+            reg.get("nope")
+
+    def test_ignores_non_numeric_dirs(self, tmp_path):
+        root = str(tmp_path)
+        (tmp_path / "m" / "staging").mkdir(parents=True)
+        save_params_npz(f"{root}/m/3", {"w": np.zeros(1)})
+        reg = ModelRegistry(root)
+        reg.scan_once()
+        assert reg.version("m") == 3
+
+
+class TestInferenceServer:
+    def _post(self, port, model, instances):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/models/{model}:predict",
+            data=json.dumps({"instances": instances}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return json.loads(r.read())
+
+    def test_end_to_end_predict_and_hot_swap(self, tmp_path):
+        root = str(tmp_path)
+        save_params_npz(f"{root}/lr/1", {"w": np.array([1.0, 2.0])})
+        reg = ModelRegistry(root, poll_interval_s=0.1)
+        reg.scan_once()
+
+        def build(params):
+            w = params["w"]
+            return lambda x: x @ w
+
+        srv = InferenceServer(
+            reg, build, batcher_config=BatcherConfig(max_delay_ms=1.0)
+        )
+        srv.start()
+        try:
+            out = self._post(srv.port, "lr", [[1.0, 1.0], [2.0, 0.0]])
+            assert out["predictions"] == [3.0, 2.0]
+
+            # hot-swap to v2 (w doubled) → served after next scan
+            save_params_npz(f"{root}/lr/2", {"w": np.array([2.0, 4.0])})
+            deadline = time.time() + 5
+            while time.time() < deadline:
+                out = self._post(srv.port, "lr", [[1.0, 1.0]])
+                if out["predictions"] == [6.0]:
+                    break
+                time.sleep(0.1)
+            assert out["predictions"] == [6.0]
+
+            # models listing + metrics endpoints
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/v1/models", timeout=5
+            ) as r:
+                models = json.loads(r.read())
+            assert models["lr"]["version"] == 2
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/metrics", timeout=5
+            ) as r:
+                text = r.read().decode()
+            assert "requests:lr_total" in text
+        finally:
+            srv.close()
+
+    def test_unknown_model_404(self, tmp_path):
+        reg = ModelRegistry(str(tmp_path))
+        srv = InferenceServer(reg, lambda h: (lambda x: x))
+        srv.start()
+        try:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                self._post(srv.port, "ghost", [[1.0]])
+            assert ei.value.code == 404
+        finally:
+            srv.close()

@@ -1,0 +1,126 @@
+"""Size + deadline dynamic batching — the navi BatchPredictor.
+
+≡ ``navi/navi/src/batch.rs:23,116-200``: requests enqueue with a callback;
+a batch fires when it reaches ``max_batch_size`` OR the oldest request has
+waited ``max_delay`` (``duration_past:200``); the model runs once per batch
+and each caller gets its slice.
+
+TPU framing: batching is what keeps the MXU fed — single-candidate requests
+would waste the chip. The worker thread pads the batch to the next power of
+two (stable XLA program shapes → no recompiles) and masks the padding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Callable, List, Optional, Sequence
+
+import numpy as np
+
+from the_algorithm_tpu.core.metrics import NullStats, StatsReceiver
+
+
+@dataclasses.dataclass(frozen=True)
+class BatcherConfig:
+    max_batch_size: int = 256
+    max_delay_ms: float = 5.0
+    pad_to_power_of_two: bool = True  # stable shapes → one compiled program
+
+
+@dataclasses.dataclass
+class _Pending:
+    inputs: np.ndarray  # [n, ...] this request's examples
+    future: Future
+    enqueued_at: float
+
+
+class DynamicBatcher:
+    """Queue + worker thread around a batched ``predict_fn``.
+
+    ``predict_fn(batch [B, ...]) -> [B, ...]`` must accept any B up to
+    max_batch_size (padded if configured).
+    """
+
+    def __init__(
+        self,
+        predict_fn: Callable[[np.ndarray], np.ndarray],
+        config: BatcherConfig = BatcherConfig(),
+        stats: Optional[StatsReceiver] = None,
+    ):
+        self.predict_fn = predict_fn
+        self.config = config
+        self.stats = stats or NullStats()
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._shutdown = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, inputs: np.ndarray) -> Future:
+        """Enqueue [n, ...] examples; resolves to [n, ...] outputs."""
+        fut: Future = Future()
+        self._queue.put(_Pending(np.asarray(inputs), fut, time.perf_counter()))
+        return fut
+
+    def predict(self, inputs: np.ndarray, timeout: float = 30.0) -> np.ndarray:
+        return self.submit(inputs).result(timeout=timeout)
+
+    def close(self) -> None:
+        self._shutdown.set()
+        self._worker.join(timeout=2.0)
+
+    # -- worker --------------------------------------------------------------
+
+    def _collect(self) -> List[_Pending]:
+        """Block for one request, then drain until size or deadline."""
+        try:
+            first = self._queue.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        batch = [first]
+        total = first.inputs.shape[0]
+        deadline = first.enqueued_at + self.config.max_delay_ms / 1e3
+        while total < self.config.max_batch_size:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            batch.append(nxt)
+            total += nxt.inputs.shape[0]
+        return batch
+
+    def _run(self) -> None:
+        while not self._shutdown.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            inputs = np.concatenate([p.inputs for p in batch], axis=0)
+            n = inputs.shape[0]
+            padded_n = n
+            if self.config.pad_to_power_of_two:
+                padded_n = 1 << (n - 1).bit_length()
+                padded_n = min(padded_n, self.config.max_batch_size)
+                padded_n = max(padded_n, n)
+            if padded_n > n:
+                pad = np.zeros((padded_n - n,) + inputs.shape[1:], inputs.dtype)
+                inputs = np.concatenate([inputs, pad], axis=0)
+            self.stats.stat("batch_size", n)
+            t0 = time.perf_counter()
+            try:
+                outputs = np.asarray(self.predict_fn(inputs))[:n]
+            except Exception as e:
+                for p in batch:
+                    p.future.set_exception(e)
+                continue
+            self.stats.stat("predict_ms", (time.perf_counter() - t0) * 1e3)
+            off = 0
+            for p in batch:
+                k = p.inputs.shape[0]
+                p.future.set_result(outputs[off : off + k])
+                off += k
