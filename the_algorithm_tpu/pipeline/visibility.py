@@ -1,0 +1,200 @@
+"""Visibility rule engine: SafetyLevel × content features → Action.
+
+≡ ``visibilitylib/`` (SURVEY.md §2.1): ``VisibilityLibrary`` +
+``DeciderableVisibilityRuleEngine.scala:12-21`` evaluate condition-gated
+rules per SafetyLevel surface; actions are Allow / Drop / Interstitial /
+Downrank (``rules/{Action,Condition,DownrankingRules}.scala``); rules can
+fail closed (``FailClosedException``), and the engine short-circuits at the
+first terminal action. Metrics per rule
+(``VisibilityResultsMetricRecorder.scala:21-167``).
+
+In-process: content/viewer state is a plain FeatureMap; rules are predicates
+with an action and an optional decider gate; the engine evaluates the
+safety-level's rule sequence in order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Callable, Dict, List, Mapping, Optional, Sequence
+
+from the_algorithm_tpu.core.metrics import NullStats, StatsReceiver
+
+
+class Action(enum.IntEnum):
+    """≡ rules/Action.scala terminal actions (severity-ordered)."""
+
+    ALLOW = 0
+    DOWNRANK = 1
+    INTERSTITIAL = 2
+    DROP = 3
+
+
+class SafetyLevel(enum.Enum):
+    """Per-surface rule sets (subset of the ~100 reference levels)."""
+
+    TIMELINE_HOME = "timeline_home"
+    TIMELINE_PROFILE = "timeline_profile"
+    SEARCH = "search"
+    RECOMMENDATIONS = "recommendations"
+    NOTIFICATIONS = "notifications"
+
+
+@dataclasses.dataclass(frozen=True)
+class Rule:
+    """Condition → action, optionally decider-gated and fail-closed."""
+
+    name: str
+    condition: Callable[[Mapping], bool]  # features → applies?
+    action: Action
+    reason: str = ""
+    enabled: Callable[[], bool] = lambda: True  # the Decider gate
+    fail_closed: bool = False  # condition error ⇒ DROP (vs skip)
+
+
+@dataclasses.dataclass
+class VisibilityResult:
+    action: Action
+    triggered_rules: List[str]
+    reason: str = ""
+
+
+class VisibilityRuleEngine:
+    def __init__(
+        self,
+        rules_by_level: Mapping[SafetyLevel, Sequence[Rule]],
+        stats: Optional[StatsReceiver] = None,
+        short_circuit: bool = True,
+    ):
+        self.rules_by_level = dict(rules_by_level)
+        self.stats = stats or NullStats()
+        self.short_circuit = short_circuit
+
+    def evaluate(
+        self, level: SafetyLevel, features: Mapping
+    ) -> VisibilityResult:
+        """Most-severe action among triggered rules (short-circuit on DROP)."""
+        result = VisibilityResult(Action.ALLOW, [])
+        for rule in self.rules_by_level.get(level, ()):  # ordered
+            if not rule.enabled():
+                self.stats.counter(f"visibility/{rule.name}/disabled")
+                continue
+            try:
+                applies = rule.condition(features)
+            except Exception:
+                self.stats.counter(f"visibility/{rule.name}/errors")
+                # fail-closed rules drop on evaluation failure
+                applies = rule.fail_closed
+            if applies:
+                self.stats.counter(f"visibility/{rule.name}/triggered")
+                result.triggered_rules.append(rule.name)
+                if rule.action > result.action:
+                    result.action = rule.action
+                    result.reason = rule.reason or rule.name
+                if self.short_circuit and result.action == Action.DROP:
+                    break
+        return result
+
+
+# -- standard rules (DownrankingRules / safety rules analog) -----------------
+
+
+def _f(name, default=False):
+    return lambda feats: bool(feats.get(name, default))
+
+
+STANDARD_RULES: Dict[SafetyLevel, List[Rule]] = {
+    SafetyLevel.TIMELINE_HOME: [
+        Rule("DropDeletedTweet", _f("is_deleted"), Action.DROP, "deleted"),
+        Rule(
+            "DropAuthorBlockedViewer",
+            _f("author_blocks_viewer"),
+            Action.DROP,
+            "blocked",
+        ),
+        Rule(
+            "DropViewerBlockedAuthor",
+            _f("viewer_blocks_author"),
+            Action.DROP,
+            "blocked_by_viewer",
+        ),
+        Rule(
+            "DropViewerMutedAuthor", _f("viewer_mutes_author"), Action.DROP,
+            "muted",
+        ),
+        Rule(
+            "NsfwMediaInterstitial", _f("is_nsfw_media"), Action.INTERSTITIAL,
+            "nsfw_media",
+        ),
+        Rule(
+            "DownrankHighToxicity",
+            lambda f: f.get("toxicity_score", 0.0) > 0.9,
+            Action.DOWNRANK,
+            "toxicity",
+        ),
+        Rule(
+            "DownrankSpamReported",
+            lambda f: f.get("spam_score", 0.0) > 0.95,
+            Action.DOWNRANK,
+            "spam",
+            fail_closed=False,
+        ),
+    ],
+    SafetyLevel.RECOMMENDATIONS: [
+        Rule("DropDeletedTweet", _f("is_deleted"), Action.DROP, "deleted"),
+        Rule(
+            "DropNsfwFromRecs", _f("is_nsfw_media"), Action.DROP, "nsfw_recs"
+        ),
+        Rule(
+            "DropHighToxicityFromRecs",
+            lambda f: f.get("toxicity_score", 0.0) > 0.8,
+            Action.DROP,
+            "toxicity_recs",
+        ),
+    ],
+}
+
+
+def standard_engine(stats=None) -> VisibilityRuleEngine:
+    return VisibilityRuleEngine(STANDARD_RULES, stats=stats)
+
+
+# -- pipeline integration ----------------------------------------------------
+
+
+from the_algorithm_tpu.pipeline.component import Filter, FilterResult  # noqa: E402
+
+
+class VisibilityFilter(Filter):
+    """Global pipeline filter applying the rule engine per candidate.
+
+    DROP removes; DOWNRANK multiplies the score by ``downrank_factor``;
+    INTERSTITIAL keeps but flags (the marshaller renders the cover).
+    """
+
+    def __init__(
+        self,
+        engine: VisibilityRuleEngine,
+        level: SafetyLevel,
+        downrank_factor: float = 0.25,
+    ):
+        self.engine = engine
+        self.level = level
+        self.downrank_factor = downrank_factor
+
+    def apply(self, query, candidates, params):
+        kept, removed = [], []
+        for c in candidates:
+            res = self.engine.evaluate(self.level, c.features)
+            if res.action == Action.DROP:
+                c.features["visibility_reason"] = res.reason
+                removed.append(c)
+                continue
+            if res.action == Action.DOWNRANK and c.score is not None:
+                c.score *= self.downrank_factor
+                c.features["visibility_downranked"] = True
+            if res.action == Action.INTERSTITIAL:
+                c.features["visibility_interstitial"] = res.reason
+            kept.append(c)
+        return FilterResult(kept, removed)
