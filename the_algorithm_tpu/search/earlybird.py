@@ -167,10 +167,14 @@ def search(
     )
     hit = hit & q_valid[None, :]
     n_q = jnp.maximum(jnp.sum(q_valid), 1)
+    has_terms = jnp.any(q_valid)
     if query.require_all:
         match = jnp.sum(hit, axis=1) == n_q
     else:
         match = jnp.any(hit, axis=1)
+    # an empty term set is a match-all recency query (the recap/timeline
+    # fetch issues author+time-window-only queries)
+    match = match | ~has_terms
 
     ok = (
         match
