@@ -122,6 +122,38 @@ def exact_topk(queries_ids, queries_scores, tweet_ids, tweet_scores, k):
     return np.asarray(top_ids)
 
 
+def bench_ranking():
+    """MaskNet heavy-ranker scoring throughput (candidates/s/chip)."""
+    from the_algorithm_tpu.models import masknet
+
+    cfg = masknet.MaskNetConfig(
+        num_features=6000, num_heads=15, mask_blocks=4, block_dim=512,
+        aggregation_dim=128, head_hidden=(256, 128),
+    )
+    model = masknet.MaskNet(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, cfg.num_features), jnp.float32)
+    )
+    weights = masknet.DEFAULT_HEAD_WEIGHTS
+
+    @jax.jit
+    def score(x):
+        probs = jax.nn.sigmoid(model.apply(params, x))
+        return masknet.weighted_model_score(probs, weights)
+
+    B = 1024
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(B, cfg.num_features)).astype(np.float32)
+    )
+    jax.block_until_ready(score(x))
+    t0 = time.time()
+    reps = 10
+    for _ in range(reps):
+        jax.block_until_ready(score(x))
+    dt = (time.time() - t0) / reps
+    return B / dt
+
+
 def main():
     tweet_ids, tweet_scores, tweet_comm, comm_clusters = build_corpus()
     idx_ids, idx_scores, idx_ts = build_index(tweet_ids, tweet_scores)
@@ -181,6 +213,8 @@ def main():
         oracle_total += len(want_ids)
     oracle_parity = oracle_hits / max(oracle_total, 1)
 
+    ranking_cps = bench_ranking()
+
     print(
         json.dumps(
             {
@@ -190,6 +224,7 @@ def main():
                 "vs_baseline": round(qps / 6000.0, 3),
                 "recall_at_100": round(recall, 4),
                 "oracle_parity_recall": round(oracle_parity, 4),
+                "ranking_candidates_per_s_per_chip": round(ranking_cps, 1),
                 "batch": Q,
                 "index_shape": [C, M],
                 "scan": [N, X],
