@@ -14,7 +14,10 @@ from typing import Dict, Tuple
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "src", "tpurecsys.cc")
+_SRCS = [
+    os.path.join(_DIR, "src", "tpurecsys.cc"),
+    os.path.join(_DIR, "src", "hnsw.cc"),
+]
 _SO = os.path.join(_DIR, "libtpurecsys.so")
 
 _lib = None
@@ -23,7 +26,7 @@ _lib = None
 def _build() -> None:
     subprocess.run(
         [
-            "g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o", _SO, _SRC,
+            "g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o", _SO, *_SRCS,
         ],
         check=True,
         capture_output=True,
@@ -33,8 +36,8 @@ def _build() -> None:
 def lib() -> ctypes.CDLL:
     global _lib
     if _lib is None:
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
-            _SRC
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < max(
+            os.path.getmtime(s) for s in _SRCS
         ):
             _build()
         _lib = ctypes.CDLL(_SO)
@@ -60,6 +63,29 @@ def _declare(L: ctypes.CDLL) -> None:
     L.tpurecsys_decode_block.restype = ctypes.c_int
     L.tpurecsys_densify.restype = ctypes.c_int
     L.tpurecsys_hash_discretize.restype = ctypes.c_int
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    L.tpurecsys_hnsw_create.restype = ctypes.c_void_p
+    L.tpurecsys_hnsw_create.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_uint64,
+    ]
+    L.tpurecsys_hnsw_free.argtypes = [ctypes.c_void_p]
+    L.tpurecsys_hnsw_size.restype = ctypes.c_uint64
+    L.tpurecsys_hnsw_size.argtypes = [ctypes.c_void_p]
+    L.tpurecsys_hnsw_insert.restype = ctypes.c_int32
+    L.tpurecsys_hnsw_insert.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int64]
+    L.tpurecsys_hnsw_insert_batch.argtypes = [
+        ctypes.c_void_p, f32p, i64p, ctypes.c_uint64,
+    ]
+    L.tpurecsys_hnsw_search.restype = ctypes.c_int32
+    L.tpurecsys_hnsw_search.argtypes = [
+        ctypes.c_void_p, f32p, ctypes.c_int32, ctypes.c_int32, i64p, f32p,
+    ]
+    L.tpurecsys_hnsw_save.restype = ctypes.c_int
+    L.tpurecsys_hnsw_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    L.tpurecsys_hnsw_load.restype = ctypes.c_void_p
+    L.tpurecsys_hnsw_load.argtypes = [ctypes.c_char_p]
 
 
 def _u8(a: np.ndarray):
