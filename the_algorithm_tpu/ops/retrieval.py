@@ -68,23 +68,34 @@ def _dedup_sum(
     """Sort by id and collapse equal runs by summation.
 
     Returns (rep_ids, *summed) where non-representative slots are PAD_ID/0.
-    Uses one multi-operand lax.sort (key + carried values) instead of
-    argsort+gathers — one pass through the sort network.
+    Uses one multi-operand lax.sort (key + carried values) followed by a
+    *reverse segmented inclusive scan* (``lax.associative_scan`` with a
+    run-boundary reset operator): after the scan each slot holds the sum
+    from itself to its run end, so run starts hold the full run total.
+    No scatter and no data-dependent gather — the scatter-based
+    ``segment_sum`` formulation is ~10× slower on TPU and its vmapped
+    compile blows up.
     """
     sorted_all = jax.lax.sort((ids,) + tuple(values), num_keys=1)
     ids = sorted_all[0]
     values = sorted_all[1:]
-    new_run = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32), (ids[1:] != ids[:-1]).astype(jnp.int32)]
+    boundary = ids[1:] != ids[:-1]
+    first = jnp.concatenate([jnp.ones((1,), jnp.bool_), boundary])
+    last = jnp.concatenate([boundary, jnp.ones((1,), jnp.bool_)])
+
+    def seg_op(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, tuple(
+            x2 + jnp.where(fb, 0.0, x1) for x1, x2 in zip(va, vb)
+        )
+
+    _, scanned = jax.lax.associative_scan(
+        seg_op, (last[::-1], tuple(v[::-1] for v in values))
     )
-    seg = jnp.cumsum(new_run) - 1
-    n = ids.shape[0]
-    out = []
-    for v in values:
-        summed = jax.ops.segment_sum(v, seg, num_segments=n)
-        out.append(jnp.where(new_run == 1, summed[seg], 0.0))
-    rep_ids = jnp.where(new_run == 1, ids, PAD_ID)
-    return (rep_ids,) + tuple(out)
+    out = tuple(jnp.where(first, s[::-1], 0.0) for s in scanned)
+    rep_ids = jnp.where(first, ids, PAD_ID)
+    return (rep_ids,) + out
 
 
 def accumulate_candidates(
