@@ -1,0 +1,212 @@
+"""Phoenix action-sequence model + scorer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from the_algorithm_tpu.mixers import phoenix_scorer as ps
+from the_algorithm_tpu.models import phoenix
+from the_algorithm_tpu.models.phoenix import (
+    ActionName,
+    CandidateFeatures,
+    PhoenixConfig,
+    PhoenixModel,
+    UserActionSequence,
+    aggregate_history,
+)
+from the_algorithm_tpu.pipeline.component import Candidate
+
+
+def _toy_model(L=32, C=8):
+    cfg = PhoenixConfig(
+        d_model=32, n_layers=1, n_heads=2, max_history=L, author_buckets=64
+    )
+    model = PhoenixModel(cfg)
+    seq = UserActionSequence(
+        jnp.zeros(L, jnp.int32), jnp.zeros(L, jnp.int32),
+        jnp.zeros(L, jnp.int32), jnp.zeros(L, bool),
+    )
+    cands = CandidateFeatures(
+        jnp.zeros(C, jnp.int32),
+        jnp.zeros((C, phoenix.NUM_BOOL_FEATURES), jnp.float32),
+        jnp.ones(C, bool),
+    )
+    params = model.init(jax.random.PRNGKey(0), seq, cands)
+    return cfg, model, params, seq, cands
+
+
+class TestModel:
+    def test_shapes_and_mask(self):
+        cfg, model, params, seq, cands = _toy_model()
+        cands = cands._replace(
+            valid=jnp.asarray([True] * 4 + [False] * 4)
+        )
+        probs = phoenix.predict_next_actions(model, params, seq, cands)
+        assert probs.shape == (8, phoenix.NUM_ACTIONS)
+        assert np.all(np.asarray(probs[4:]) == 0.0)
+        assert np.all(np.asarray(probs[:4]) > 0.0)
+        assert np.all(np.asarray(probs[:4]) < 1.0)
+
+    def test_history_changes_predictions(self):
+        cfg, model, params, seq, cands = _toy_model()
+        seq2 = UserActionSequence(
+            seq.action_ids.at[-1].set(int(ActionName.SERVER_TWEET_FAV)),
+            seq.author_hashes.at[-1].set(7),
+            seq.age_s,
+            seq.valid.at[-1].set(True),
+        )
+        p1 = phoenix.predict_next_actions(model, params, seq, cands)
+        p2 = phoenix.predict_next_actions(model, params, seq2, cands)
+        assert not np.allclose(np.asarray(p1), np.asarray(p2))
+
+    def test_training_step_reduces_loss(self):
+        cfg, model, params, seq, cands = _toy_model()
+        seq = seq._replace(valid=seq.valid.at[-4:].set(True))
+        labels = jnp.zeros((8, phoenix.NUM_ACTIONS)).at[:, 1].set(1.0)
+        valid = jnp.ones(8, bool)
+
+        def loss_fn(p):
+            return phoenix.multi_action_loss(
+                model.apply(p, seq, cands), labels, valid
+            )
+
+        l0 = float(loss_fn(params))
+        grads = jax.grad(loss_fn)(params)
+        params2 = jax.tree.map(lambda p, g: p - 0.5 * g, params, grads)
+        assert float(loss_fn(params2)) < l0
+
+
+class TestAggregation:
+    def test_window_dedup_and_truncation(self):
+        fav = int(ActionName.SERVER_TWEET_FAV)
+        reply = int(ActionName.SERVER_TWEET_REPLY)
+        events = [
+            (1_000, fav, 5),
+            (2_000, fav, 5),        # same 5-min window+action+author -> dedup
+            (400_000, fav, 5),      # new window
+            (400_500, reply, 5),    # different action, kept
+        ]
+        out = aggregate_history(events, now_ms=500_000, max_length=8)
+        assert out["valid"].sum() == 3
+        assert out["action_ids"][out["valid"]].tolist() == [fav, fav, reply]
+        # newest-last, ages in seconds
+        assert out["age_s"][-1] == (500_000 - 400_500) // 1000
+
+        out2 = aggregate_history(events, now_ms=500_000, max_length=2)
+        assert out2["valid"].sum() == 2
+        assert out2["action_ids"][-1] == reply
+
+    def test_exclude_dwells(self):
+        dwell = int(ActionName.CLIENT_TWEET_RECAP_DWELLED)
+        events = [(1_000, dwell, 1), (2_000, int(ActionName.SERVER_TWEET_FAV), 1)]
+        out = aggregate_history(
+            events, now_ms=10_000, max_length=4, exclude_dwells=True
+        )
+        assert out["valid"].sum() == 1
+
+
+class TestScorer:
+    def _query(self, actions="present"):
+        class Q:
+            features = {"user_actions": actions if actions else None}
+
+        q = Q()
+        if actions is None:
+            q.features = {}
+        return q
+
+    def test_max_over_actions_and_weighted_score(self):
+        probs = np.zeros((2, phoenix.NUM_ACTIONS), np.float32)
+        probs[0, int(ActionName.SERVER_TWEET_QUOTE)] = 0.4
+        probs[0, int(ActionName.SERVER_TWEET_RETWEET)] = 0.7
+        probs[1, int(ActionName.CLIENT_TWEET_REPORT)] = 0.9
+
+        scorer = ps.PhoenixScorer(lambda a, b, v, ua: probs)
+        cands = [
+            Candidate(id=1, features={"author_id": 3}),
+            Candidate(id=2, features={"author_id": 4}),
+        ]
+        scorer.score(self._query(), cands, None)
+        assert cands[0].features["phoenix_retweet"] == np.float32(0.7)  # max of the set
+        assert cands[1].features["phoenix_negative_feedback_v2"] == np.float32(0.9)
+        assert cands[0].score > cands[1].score  # negative weight sinks cand 2
+
+    def test_prod_fallback_when_missing(self):
+        probs = np.zeros((1, phoenix.NUM_ACTIONS), np.float32)
+        scorer = ps.PhoenixScorer(lambda a, b, v, ua: probs)
+        cands = [
+            Candidate(
+                id=1, features={"author_id": 3, "predicted_fav": 0.33}
+            )
+        ]
+        scorer.score(self._query(), cands, None)
+        assert cands[0].features["phoenix_fav"] == np.float32(0.33)
+
+    def test_video_eligibility_gating(self):
+        probs = np.full((1, phoenix.NUM_ACTIONS), 0.5, np.float32)
+        scorer = ps.PhoenixScorer(lambda a, b, v, ua: probs)
+        video = Candidate(
+            id=1,
+            features={
+                "author_id": 3, "has_video": True, "video_duration_ms": 30_000
+            },
+        )
+        scorer.score(self._query(), [video], None)
+        assert "phoenix_vqv" in video.features
+        assert "phoenix_dwell" not in video.features  # video >= 10s -> no dwell
+
+        short = Candidate(id=2, features={"author_id": 3})
+        scorer.score(self._query(), [short], None)
+        assert "phoenix_dwell" in short.features
+        assert "phoenix_vqv" not in short.features
+
+    def test_only_if_requires_user_actions(self):
+        probs = np.full((1, phoenix.NUM_ACTIONS), 0.5, np.float32)
+        scorer = ps.PhoenixScorer(lambda a, b, v, ua: probs)
+        c = Candidate(id=1, features={"author_id": 3})
+        scorer.score(self._query(actions=None), [c], None)
+        assert c.score is None
+
+    def test_retweet_source_author_remap(self):
+        seen = {}
+
+        def spy(authors, bools, valid, ua):
+            seen["authors"] = authors.copy()
+            seen["bools"] = bools.copy()
+            return np.zeros((len(authors), phoenix.NUM_ACTIONS), np.float32)
+
+        scorer = ps.PhoenixScorer(spy)
+        c = Candidate(
+            id=1,
+            features={
+                "author_id": 3, "source_user_id": 42, "source_tweet_id": 99
+            },
+        )
+        scorer.score(self._query(), [c], None)
+        assert seen["authors"][0] == 42
+        assert seen["bools"][0][ps.BOOL_FEATURES.index("is_retweet")] == 1.0
+
+
+class TestUserActionsHydrator:
+    def test_hydrate_builds_sequence(self):
+        from the_algorithm_tpu.mixers.feature_hydrators import (
+            UserActionsQueryHydrator,
+        )
+
+        fav = int(ActionName.SERVER_TWEET_FAV)
+        events = [(1_000, fav, 5), (400_000, fav, 6)]
+
+        class Q:
+            user_id = 1
+            now = 500
+
+        h = UserActionsQueryHydrator(lambda uid: events, max_length=16)
+        out = h.hydrate(Q(), None)
+        assert out["user_actions_size"] == 2
+        assert out["user_actions_contains_explicit_signals"]
+        assert out["user_actions"].valid.sum() == 2
+
+        h2 = UserActionsQueryHydrator(lambda uid: [], max_length=16)
+        out2 = h2.hydrate(Q(), None)
+        assert out2["user_actions"] is None
+        assert out2["user_actions_size"] == 0

@@ -17,6 +17,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [
     os.path.join(_DIR, "src", "tpurecsys.cc"),
     os.path.join(_DIR, "src", "hnsw.cc"),
+    os.path.join(_DIR, "src", "serving_core.cc"),
 ]
 _SO = os.path.join(_DIR, "libtpurecsys.so")
 
@@ -26,7 +27,8 @@ _lib = None
 def _build() -> None:
     subprocess.run(
         [
-            "g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o", _SO, *_SRCS,
+            "g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-pthread",
+            "-o", _SO, *_SRCS,
         ],
         check=True,
         capture_output=True,
@@ -86,6 +88,23 @@ def _declare(L: ctypes.CDLL) -> None:
     L.tpurecsys_hnsw_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     L.tpurecsys_hnsw_load.restype = ctypes.c_void_p
     L.tpurecsys_hnsw_load.argtypes = [ctypes.c_char_p]
+    # serving core (navi-equivalent socket front + batcher)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    L.sc_start.restype = ctypes.c_void_p
+    L.sc_start.argtypes = [
+        ctypes.c_int, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_int64,
+    ]
+    L.sc_port.restype = ctypes.c_int
+    L.sc_port.argtypes = [ctypes.c_void_p]
+    L.sc_next_batch.restype = ctypes.c_int
+    L.sc_next_batch.argtypes = [
+        ctypes.c_void_p, f32p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+    ]
+    L.sc_complete.restype = ctypes.c_int
+    L.sc_complete.argtypes = [ctypes.c_void_p, ctypes.c_int64, f32p]
+    L.sc_stats.argtypes = [ctypes.c_void_p, u64p]
+    L.sc_stop.argtypes = [ctypes.c_void_p]
 
 
 def _u8(a: np.ndarray):

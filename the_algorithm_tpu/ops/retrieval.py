@@ -32,6 +32,12 @@ import numpy as np
 from the_algorithm_tpu.ops import sparse
 from the_algorithm_tpu.ops.sparse import PAD_ID, SparseEmbedding
 
+# On TPU, rows at least this wide dedup through the Pallas in-VMEM
+# segmented-scan kernel (ops/seg_scan.py) instead of lax.associative_scan
+# (which makes ~log2(W) full HBM passes). Tests may force either path.
+PALLAS_DEDUP_MIN_WIDTH = 2048
+FORCE_DEDUP_PATH: Optional[str] = None  # None | "pallas" | "scan"
+
 
 class ScoringAlgorithm(enum.Enum):
     """≡ thrift ``ScoringAlgorithm`` (simclusters-ann/thrift/.../simClustersAnn.thrift)."""
@@ -68,17 +74,32 @@ def _dedup_sum(
     """Sort by id and collapse equal runs by summation.
 
     Returns (rep_ids, *summed) where non-representative slots are PAD_ID/0.
-    Uses one multi-operand lax.sort (key + carried values) followed by a
-    *reverse segmented inclusive scan* (``lax.associative_scan`` with a
-    run-boundary reset operator): after the scan each slot holds the sum
-    from itself to its run end, so run starts hold the full run total.
-    No scatter and no data-dependent gather — the scatter-based
-    ``segment_sum`` formulation is ~10× slower on TPU and its vmapped
-    compile blows up.
+    Callers must not depend on WHICH slot of a run is the representative:
+    the TPU path (Pallas in-VMEM segmented scan, ops/seg_scan.py) populates
+    run ends, the portable path populates run starts.
+
+    Portable path: one multi-operand lax.sort (key + carried values)
+    followed by a *reverse segmented inclusive scan*
+    (``lax.associative_scan`` with a run-boundary reset operator): after
+    the scan each slot holds the sum from itself to its run end, so run
+    starts hold the full run total. No scatter and no data-dependent
+    gather — the scatter-based ``segment_sum`` formulation is ~10× slower
+    on TPU and its vmapped compile blows up.
     """
     sorted_all = jax.lax.sort((ids,) + tuple(values), num_keys=1)
     ids = sorted_all[0]
     values = sorted_all[1:]
+
+    use_pallas = FORCE_DEDUP_PATH == "pallas" or (
+        FORCE_DEDUP_PATH is None
+        and jax.default_backend() == "tpu"
+        and ids.shape[0] >= PALLAS_DEDUP_MIN_WIDTH
+    )
+    if use_pallas:
+        from the_algorithm_tpu.ops import seg_scan
+
+        return seg_scan.run_collapse_sorted_1d(ids, *values)
+
     boundary = ids[1:] != ids[:-1]
     first = jnp.concatenate([jnp.ones((1,), jnp.bool_), boundary])
     last = jnp.concatenate([boundary, jnp.ones((1,), jnp.bool_)])
