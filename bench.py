@@ -20,9 +20,19 @@ import json
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-
 import jax
+
+# Persistent compilation cache, repo-local so it survives across runs on the
+# same machine (the retrieval program alone takes minutes to compile on a
+# tunneled TPU backend; the env-var-only path does not reliably enable the
+# cache there, so set the config explicitly before first compile).
+_CACHE_DIR = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import jax.numpy as jnp
 import numpy as np
 

@@ -40,32 +40,17 @@ class MaskNetConfig:
         return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
 
 
-class MaskBlock(nn.Module):
-    """Instance-guided mask block (MaskNet paper §3.2; block-on-input)."""
-
-    block_dim: int
-    aggregation_dim: int
-    dtype: jnp.dtype
-
-    @nn.compact
-    def __call__(self, x_mask_input: jnp.ndarray, x_hidden: jnp.ndarray):
-        # instance-guided mask: reduction then projection, relu in between
-        agg = nn.Dense(self.aggregation_dim, dtype=self.dtype, name="mask_agg")(
-            x_mask_input
-        )
-        agg = nn.relu(agg)
-        mask = nn.Dense(self.block_dim, dtype=self.dtype, name="mask_proj")(agg)
-        hidden = nn.Dense(
-            self.block_dim, use_bias=False, dtype=self.dtype, name="hidden"
-        )(x_hidden)
-        hidden = nn.LayerNorm(dtype=self.dtype, name="hidden_ln")(hidden)
-        out = mask * hidden
-        out = nn.LayerNorm(dtype=self.dtype, name="out_ln")(out)
-        return nn.relu(out)
-
-
 class MaskNet(nn.Module):
-    """Parallel MaskNet with multi-task sigmoid heads."""
+    """Parallel MaskNet with multi-task sigmoid heads.
+
+    The G parallel instance-guided mask blocks (MaskNet paper §3.2,
+    block-on-input) are **fused**: the per-block input projections — G×
+    Dense(F→A) for the mask aggregations and G× Dense(F→D, no bias) for the
+    hidden branches — become two wide matmuls F→G·A and F→G·D, so the MXU
+    sees two large GEMMs and the 6000-wide input is read from HBM once per
+    branch instead of once per block. The tiny per-block A→D mask
+    projections stay block-diagonal as one batched einsum over the G axis.
+    """
 
     config: MaskNetConfig
 
@@ -74,18 +59,35 @@ class MaskNet(nn.Module):
         """features [B, F] float32 → logits [B, H]."""
         cfg = self.config
         dt = cfg.compute_dtype
+        G, D, A = cfg.mask_blocks, cfg.block_dim, cfg.aggregation_dim
         x = nn.LayerNorm(dtype=jnp.float32, name="input_ln")(features)
         x = x.astype(dt)
-        blocks = [
-            MaskBlock(
-                block_dim=cfg.block_dim,
-                aggregation_dim=cfg.aggregation_dim,
-                dtype=dt,
-                name=f"mask_block_{i}",
-            )(x, x)
-            for i in range(cfg.mask_blocks)
-        ]
-        h = jnp.concatenate(blocks, axis=-1)
+
+        # instance-guided masks, all blocks at once: F→G·A, relu, then the
+        # block-diagonal A→D projection as a G-batched matmul
+        agg = nn.relu(nn.Dense(G * A, dtype=dt, name="mask_agg")(x))
+        agg = agg.reshape(-1, G, A)
+        mask_proj = self.param(
+            "mask_proj", nn.initializers.lecun_normal(), (G, A, D), jnp.float32
+        )
+        mask_bias = self.param("mask_proj_bias", nn.initializers.zeros, (G, D))
+        mask = (
+            jnp.einsum(
+                "bga,gad->bgd", agg, mask_proj.astype(dt),
+                preferred_element_type=jnp.float32,
+            ).astype(dt)
+            + mask_bias.astype(dt)
+        )
+
+        # hidden branches, all blocks at once: F→G·D (bias-free), per-block
+        # layernorm (normalizes each D chunk; scale/bias shared across blocks)
+        hidden = nn.Dense(G * D, use_bias=False, dtype=dt, name="hidden")(x)
+        hidden = nn.LayerNorm(dtype=dt, name="hidden_ln")(
+            hidden.reshape(-1, G, D)
+        )
+        out = nn.LayerNorm(dtype=dt, name="out_ln")(mask * hidden)
+        h = nn.relu(out).reshape(-1, G * D)
+
         for j, width in enumerate(cfg.head_hidden):
             h = nn.Dense(width, dtype=dt, name=f"trunk_{j}")(h)
             h = nn.relu(h)
@@ -155,8 +157,9 @@ def optax_sigmoid_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 
 
 PARTITION_RULES = [
-    # wide trunk/ block kernels shard over 'model' on the output dim
-    (r"mask_block_\d+/hidden/kernel", P(None, "model")),
+    # wide fused kernels shard over 'model' on the output dim
+    (r"hidden/kernel", P(None, "model")),
+    (r"mask_agg/kernel", P(None, "model")),
     (r"trunk_0/kernel", P(None, "model")),
     (r".*", P()),
 ]
