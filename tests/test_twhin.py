@@ -92,3 +92,63 @@ class TestTwhin:
         specs = match_partition_rules(twhin.PARTITION_RULES, params)
         assert specs["params"]["user_table"] == P("model", None)
         assert specs["params"]["relation_table"] == P()
+
+
+class TestExplicitLookup:
+    """TwHIN over the explicit all-to-all sharded-table exchange."""
+
+    def test_explicit_lookup_matches_plain_gather(self, mesh8):
+        from the_algorithm_tpu.core import mesh as meshlib
+
+        U, I, B = 32, 64, 16  # B % 8 devices == 0; rows % 4 shards == 0
+        rng = np.random.default_rng(0)
+        users = jnp.asarray(rng.integers(0, U, B), jnp.int32)
+        rels = jnp.asarray(rng.integers(0, 6, B), jnp.int32)
+        items = jnp.asarray(rng.integers(0, I, B), jnp.int32)
+
+        cfg_plain = twhin.TwhinConfig(num_users=U, num_items=I, embed_dim=8)
+        cfg_a2a = twhin.TwhinConfig(
+            num_users=U, num_items=I, embed_dim=8, explicit_lookup=True
+        )
+        m_plain, m_a2a = twhin.Twhin(cfg_plain), twhin.Twhin(cfg_a2a)
+        params = m_plain.init(jax.random.PRNGKey(0), users, rels, items)
+
+        with meshlib.local_mesh(mesh8):
+            u2, v2 = jax.jit(
+                lambda p: m_a2a.apply(p, users, rels, items)
+            )(params)
+        u1, v1 = m_plain.apply(params, users, rels, items)
+        np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+
+    def test_explicit_lookup_gradients_match(self, mesh8):
+        from the_algorithm_tpu.core import mesh as meshlib
+
+        U, I, B = 32, 64, 16
+        rng = np.random.default_rng(1)
+        users = jnp.asarray(rng.integers(0, U, B), jnp.int32)
+        rels = jnp.asarray(rng.integers(0, 6, B), jnp.int32)
+        items = jnp.asarray(rng.integers(0, I, B), jnp.int32)
+
+        cfg_plain = twhin.TwhinConfig(num_users=U, num_items=I, embed_dim=8)
+        cfg_a2a = twhin.TwhinConfig(
+            num_users=U, num_items=I, embed_dim=8, explicit_lookup=True
+        )
+        m_plain, m_a2a = twhin.Twhin(cfg_plain), twhin.Twhin(cfg_a2a)
+        params = m_plain.init(jax.random.PRNGKey(0), users, rels, items)
+
+        def loss_fn(model):
+            def f(p):
+                u, v = model.apply(p, users, rels, items)
+                return twhin.twhin_loss(u, v, items)
+            return f
+
+        g_plain = jax.grad(loss_fn(m_plain))(params)
+        with meshlib.local_mesh(mesh8):
+            g_a2a = jax.jit(jax.grad(loss_fn(m_a2a)))(params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            ),
+            g_plain, g_a2a,
+        )

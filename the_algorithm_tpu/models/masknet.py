@@ -67,8 +67,15 @@ class MaskNet(nn.Module):
         # block-diagonal A→D projection as a G-batched matmul
         agg = nn.relu(nn.Dense(G * A, dtype=dt, name="mask_agg")(x))
         agg = agg.reshape(-1, G, A)
+        # fan_in must stay A per block (G is a batch axis, not receptive
+        # field) so the init matches the per-block Dense(A→D) this fuses
         mask_proj = self.param(
-            "mask_proj", nn.initializers.lecun_normal(), (G, A, D), jnp.float32
+            "mask_proj",
+            nn.initializers.variance_scaling(
+                1.0, "fan_in", "truncated_normal",
+                in_axis=-2, out_axis=-1, batch_axis=0,
+            ),
+            (G, A, D), jnp.float32,
         )
         mask_bias = self.param("mask_proj_bias", nn.initializers.zeros, (G, D))
         mask = (
@@ -80,12 +87,16 @@ class MaskNet(nn.Module):
         )
 
         # hidden branches, all blocks at once: F→G·D (bias-free), per-block
-        # layernorm (normalizes each D chunk; scale/bias shared across blocks)
+        # layernorm: normalization reduces over each D chunk, and the (G, D)
+        # feature_axes give every block its own scale/bias (matching the
+        # reference's independent per-block LayerNorm params)
         hidden = nn.Dense(G * D, use_bias=False, dtype=dt, name="hidden")(x)
-        hidden = nn.LayerNorm(dtype=dt, name="hidden_ln")(
-            hidden.reshape(-1, G, D)
-        )
-        out = nn.LayerNorm(dtype=dt, name="out_ln")(mask * hidden)
+        hidden = nn.LayerNorm(
+            dtype=dt, reduction_axes=-1, feature_axes=(-2, -1), name="hidden_ln"
+        )(hidden.reshape(-1, G, D))
+        out = nn.LayerNorm(
+            dtype=dt, reduction_axes=-1, feature_axes=(-2, -1), name="out_ln"
+        )(mask * hidden)
         h = nn.relu(out).reshape(-1, G * D)
 
         for j, width in enumerate(cfg.head_hidden):
@@ -157,9 +168,11 @@ def optax_sigmoid_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 
 
 PARTITION_RULES = [
-    # wide fused kernels shard over 'model' on the output dim
-    (r"hidden/kernel", P(None, "model")),
-    (r"mask_agg/kernel", P(None, "model")),
-    (r"trunk_0/kernel", P(None, "model")),
+    # wide fused kernels shard over 'model' on the output dim; patterns are
+    # anchored so future modules whose paths merely contain these names
+    # don't accidentally match
+    (r"(^|/)hidden/kernel$", P(None, "model")),
+    (r"(^|/)mask_agg/kernel$", P(None, "model")),
+    (r"(^|/)trunk_0/kernel$", P(None, "model")),
     (r".*", P()),
 ]

@@ -35,6 +35,10 @@ class TwhinConfig:
     embed_dim: int = 128
     num_relations: int = len(RELATIONS)
     temperature: float = 1.0
+    # explicit all-to-all row exchange for the big-table gathers (the
+    # PS-multiget analog; requires batch % mesh devices == 0 and table rows
+    # % model shards == 0). Default lets XLA pick the gather strategy.
+    explicit_lookup: bool = False
 
 
 class Twhin(nn.Module):
@@ -61,8 +65,17 @@ class Twhin(nn.Module):
             "relation_table", nn.initializers.normal(0.02),
             (cfg.num_relations, cfg.embed_dim),
         )
-        u = user_table[user_ids] + rel_table[relation_ids]  # e_u + t_r
-        v = item_table[item_ids]
+        if cfg.explicit_lookup:
+            from the_algorithm_tpu.core.mesh import get_mesh
+            from the_algorithm_tpu.parallel.sharded_table import lookup_collective
+
+            mesh = get_mesh()
+            u = lookup_collective(user_table, user_ids, mesh)
+            v = lookup_collective(item_table, item_ids, mesh)
+        else:
+            u = user_table[user_ids]
+            v = item_table[item_ids]
+        u = u + rel_table[relation_ids]  # e_u + t_r
         return u, v
 
 

@@ -35,6 +35,9 @@ class TwoTowerConfig:
     tower_hidden: Tuple[int, ...] = (128,)
     temperature: float = 0.05
     dtype: str = "float32"
+    # explicit all-to-all row exchange for the table gathers (see
+    # parallel/sharded_table.lookup_collective); batch % devices == 0.
+    explicit_lookup: bool = False
 
 
 class Tower(nn.Module):
@@ -75,12 +78,18 @@ class TwoTower(nn.Module):
             nn.initializers.normal(0.02),
             (cfg.num_items, cfg.embed_dim),
         )
-        u = Tower(cfg.tower_hidden, cfg.embed_dim, name="user_tower")(
-            user_table[user_ids]
-        )
-        v = Tower(cfg.tower_hidden, cfg.embed_dim, name="item_tower")(
-            item_table[item_ids]
-        )
+        if cfg.explicit_lookup:
+            from the_algorithm_tpu.core.mesh import get_mesh
+            from the_algorithm_tpu.parallel.sharded_table import lookup_collective
+
+            mesh = get_mesh()
+            u_rows = lookup_collective(user_table, user_ids, mesh)
+            v_rows = lookup_collective(item_table, item_ids, mesh)
+        else:
+            u_rows = user_table[user_ids]
+            v_rows = item_table[item_ids]
+        u = Tower(cfg.tower_hidden, cfg.embed_dim, name="user_tower")(u_rows)
+        v = Tower(cfg.tower_hidden, cfg.embed_dim, name="item_tower")(v_rows)
         return u, v
 
     def item_embeddings(self, item_ids: jnp.ndarray) -> jnp.ndarray:

@@ -96,6 +96,37 @@ def shard_index(mesh: Mesh, index: ClusterTweetIndex) -> ClusterTweetIndex:
     )
 
 
+def fetch_cluster_rows(
+    mesh: Mesh,
+    index: ClusterTweetIndex,  # cluster-row-sharded P('model', None)
+    cluster_ids: jnp.ndarray,  # [B] cluster ids; B % model_shards == 0
+) -> ClusterTweetIndex:
+    """The literal multiget: fetch cluster→top-tweet rows by id, sharded.
+
+    ≡ ``clusterTweetCandidatesStore.multiGet``
+    (``SimClustersANNCandidateSource.scala:79``), re-designed as one
+    all-to-all row exchange over the 'model' axis — ids route to owner
+    shards, owners gather their rows from local HBM, rows route back. The
+    three index arrays (ids/scores/timestamps) share a single routing pass.
+
+    Prefer :func:`get_tweet_candidates_sharded` (compute-at-owner) for the
+    query path; this is for callers that need the raw rows (index surgery,
+    cross-service hydration, host export).
+    """
+    from the_algorithm_tpu.parallel import sharded_table
+
+    out = sharded_table.multiget_all_to_all(
+        mesh,
+        {
+            "tweet_ids": index.tweet_ids,
+            "scores": index.scores,
+            "timestamps": index.timestamps,
+        },
+        cluster_ids,
+    )
+    return ClusterTweetIndex(out["tweet_ids"], out["scores"], out["timestamps"])
+
+
 def get_tweet_candidates_sharded(
     mesh: Mesh,
     index: ClusterTweetIndex,  # cluster-row-sharded P('model', None)
@@ -111,9 +142,10 @@ def get_tweet_candidates_sharded(
     cluster rows it owns; partials all-gather over 'model'; the merge
     **re-accumulates by tweet id** (sort + segment-sum), so a tweet whose
     contributing clusters span shards scores identically to the single-shard
-    path; then normalize / filter / top-X. Exact when every surviving
-    candidate appears in some shard's top-``partials_per_shard`` partials
-    (guaranteed when partials_per_shard ≥ N·M scanned entries per shard).
+    path; then normalize / filter / top-X. Exact at the default
+    ``partials_per_shard`` (= N·M, an upper bound on any shard's scanned
+    entries); smaller explicit values trade the all-gather payload for a
+    measured recall loss in the low-dot tail.
     """
     n_shards = mesh.shape[MODEL_AXIS]
     C = index.num_clusters
@@ -122,9 +154,15 @@ def get_tweet_candidates_sharded(
     rows_per_shard = C // n_shards
     X = config.max_num_results
     M = min(config.max_top_tweets_per_cluster, index.tweets_per_cluster)
-    R = partials_per_shard or min(
-        config.max_scan_clusters * M, max(4 * X, 512)
-    )
+    # Default partials_per_shard = N·M — EXACT by construction: a shard scans
+    # at most all N of the query's clusters (worst case: it owns every one),
+    # contributing ≤ N·M partial entries, so a top-N·M truncation by dot can
+    # never drop a candidate. Callers may pass a smaller value to cap the
+    # all-gather payload; the approximate regime's recall is measured in
+    # tests/test_tweet_embeddings_ann.py and reported by bench.py
+    # (a candidate is then dropped only if it falls outside some owning
+    # shard's top-R partial dots, which favors exactly the low-dot tail).
+    R = partials_per_shard or config.max_scan_clusters * M
 
     earliest = latest = None
     if now is not None:
