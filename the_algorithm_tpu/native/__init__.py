@@ -64,6 +64,7 @@ def _declare(L: ctypes.CDLL) -> None:
     L.tpurecsys_block_totals.restype = ctypes.c_int
     L.tpurecsys_decode_block.restype = ctypes.c_int
     L.tpurecsys_densify.restype = ctypes.c_int
+    L.tpurecsys_densify_labels.restype = ctypes.c_int
     L.tpurecsys_hash_discretize.restype = ctypes.c_int
     f32p = ctypes.POINTER(ctypes.c_float)
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -231,6 +232,23 @@ def densify(buf: bytes, vocab: np.ndarray):
     values = np.zeros((n, v.shape[0]), np.float32)
     mask = np.zeros((n, v.shape[0]), np.uint8)
     L.tpurecsys_densify(
+        _u8(arr), len(buf),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), v.shape[0],
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return values, mask.astype(bool)
+
+
+def densify_labels(buf: bytes, vocab: np.ndarray):
+    """TRec block label section → ([n, |vocab|] values, mask)."""
+    arr = np.frombuffer(buf, np.uint8)
+    L = lib()
+    n = L.tpurecsys_block_num_records(_u8(arr), len(buf))
+    v = np.ascontiguousarray(vocab, np.int64)
+    values = np.zeros((n, v.shape[0]), np.float32)
+    mask = np.zeros((n, v.shape[0]), np.uint8)
+    L.tpurecsys_densify_labels(
         _u8(arr), len(buf),
         v.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), v.shape[0],
         values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

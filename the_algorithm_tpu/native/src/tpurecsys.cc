@@ -296,6 +296,37 @@ int tpurecsys_densify(
   return 1;
 }
 
+// Label-section densify: same slot mapping over each record's label list
+// (≡ DecodeDataRecord's label outputs, twml/libtwml/src/ops/data_record.cpp).
+int tpurecsys_densify_labels(
+    const uint8_t* buf, uint64_t len,
+    const int64_t* vocab, uint32_t n_vocab,
+    float* out_values /* [n_records, n_vocab] zeroed by caller */,
+    uint8_t* out_mask /* [n_records, n_vocab] zeroed by caller */) {
+  uint32_t n = tpurecsys_block_num_records(buf, len);
+  const uint8_t* p = buf + 8;
+  for (uint32_t r = 0; r < n; r++) {
+    uint32_t byte_len; uint16_t nc, nl;
+    std::memcpy(&byte_len, p, 4);
+    std::memcpy(&nc, p + 4, 2);
+    std::memcpy(&nl, p + 6, 2);
+    const uint8_t* q = p + 8 + (uint64_t)nc * 12;  // skip cont section
+    for (uint16_t i = 0; i < nl; i++) {
+      int64_t fid; float val;
+      std::memcpy(&fid, q, 8); q += 8;
+      std::memcpy(&val, q, 4); q += 4;
+      const int64_t* lo = std::lower_bound(vocab, vocab + n_vocab, fid);
+      if (lo != vocab + n_vocab && *lo == fid) {
+        uint32_t col = (uint32_t)(lo - vocab);
+        out_values[(uint64_t)r * n_vocab + col] = val;
+        out_mask[(uint64_t)r * n_vocab + col] = 1;
+      }
+    }
+    p += byte_len;
+  }
+  return 1;
+}
+
 // ------------------------------------- hashing discretizer (batch, C++)
 
 // ≡ HashingDiscretizer::compute (hashing_discretizer_impl.cpp:121-160):

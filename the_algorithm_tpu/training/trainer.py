@@ -17,6 +17,7 @@ from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
@@ -38,6 +39,14 @@ class TrainerConfig:
     checkpoint_dir: Optional[str] = None
     keep_checkpoints: int = 3  # ≡ keep_checkpoint_max (trainer.py:150-413)
     log_every: int = 100
+    checkpoint_every: int = 1000  # ≡ save_checkpoints_steps (configurable)
+    # best-checkpoint selection ≡ best_or_latest_checkpoint
+    # (twml/twml/trainers/trainer.py:644-659): track this eval metric and
+    # remember the step where it was best.
+    eval_metric: Optional[str] = None
+    metric_larger_is_better: bool = True
+    # stop fit() after this many evals without improvement (None = never)
+    early_stopping_patience: Optional[int] = None
 
 
 def make_optimizer(config: TrainerConfig) -> optax.GradientTransformation:
@@ -87,6 +96,8 @@ class Trainer:
         # optimizer state inherits each param's sharding (sharded moments)
         self.opt_state = opt_state
         self.step = 0
+        self.best_step: Optional[int] = None
+        self.best_metric: Optional[float] = None
         self.batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
         self._jit_step = self._build_step()
         self._ckpt = None
@@ -142,8 +153,15 @@ class Trainer:
         eval_fn: Optional[Callable[[Any], Dict[str, float]]] = None,
         eval_every: Optional[int] = None,
     ) -> Dict[str, float]:
-        """≡ ``Trainer.learn`` / ``train_and_evaluate`` (trainer.py:946,1194)."""
+        """≡ ``Trainer.learn`` / ``train_and_evaluate`` (trainer.py:946,1194).
+
+        When ``config.eval_metric`` is set, each eval updates the
+        best-step/best-metric bookkeeping (and checkpoints improvements);
+        ``early_stopping_patience`` evals without improvement end the loop.
+        """
+        cfg = self.config
         last: Dict[str, Any] = {}
+        stale_evals = 0
         for _ in range(num_steps):
             batch = next(batches)
             last = self.train_step(batch)
@@ -152,10 +170,41 @@ class Trainer:
                 and eval_every
                 and self.step % eval_every == 0
             ):
-                last.update(eval_fn(self.params))
-            if self._ckpt and self.step % max(self.config.log_every * 10, 1) == 0:
+                ev = eval_fn(self.params)
+                last.update(ev)
+                for k, v in ev.items():
+                    self.stats.stat(f"eval/{k}", float(v))
+                if cfg.eval_metric is not None and cfg.eval_metric in ev:
+                    m = float(ev[cfg.eval_metric])
+                    better = self.best_metric is None or (
+                        m > self.best_metric
+                        if cfg.metric_larger_is_better
+                        else m < self.best_metric
+                    )
+                    if better:
+                        self.best_metric = m
+                        self.best_step = self.step
+                        stale_evals = 0
+                        if self._ckpt:
+                            self.save()
+                    else:
+                        stale_evals += 1
+                        if (
+                            cfg.early_stopping_patience is not None
+                            and stale_evals >= cfg.early_stopping_patience
+                        ):
+                            break
+            if self._ckpt and self.step % max(cfg.checkpoint_every, 1) == 0:
                 self.save()
         return {k: float(v) for k, v in last.items()}
+
+    def best_or_latest_step(self) -> Optional[int]:
+        """≡ ``best_or_latest_checkpoint`` (twml trainer.py:644-659)."""
+        if self.best_step is not None:
+            return self.best_step
+        if self._ckpt is not None:
+            return self._ckpt.latest_step()
+        return self.step or None
 
     # -- checkpointing (tf.estimator checkpoints analog) --------------------
 
@@ -164,6 +213,8 @@ class Trainer:
             raise ValueError("no checkpoint_dir configured")
         import orbax.checkpoint as ocp
 
+        if self._ckpt.latest_step() == self.step:
+            return  # already saved at this step (best-eval + cadence overlap)
         self._ckpt.save(
             self.step,
             args=ocp.args.Composite(
@@ -189,3 +240,60 @@ class Trainer:
         self.params = restored["params"]
         self.opt_state = restored["opt_state"]
         self.step = step
+
+    # -- export (SavedModel-export analog: the train→serve artifact) ---------
+
+    def export(self, version_dir: str, extra: Optional[Dict[str, Any]] = None):
+        """Write flat-dict params (+ host-side artifacts like calibration
+        tables) as a registry-loadable version dir.
+
+        ≡ twml's export_model/SavedModel hand-off (trainer.py:660) — the
+        artifact ``serving.model_registry.ModelRegistry`` hot-swaps in.
+        """
+        from the_algorithm_tpu.serving import model_registry
+
+        flat: Dict[str, np.ndarray] = {}
+
+        def add(path, leaf):
+            name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+            flat[name] = np.asarray(leaf)
+
+        for path, leaf in jax.tree_util.tree_flatten_with_path(self.params)[0]:
+            add(path, leaf)
+        for k, v in (extra or {}).items():
+            flat[k] = np.asarray(v)
+        model_registry.save_params_npz(version_dir, flat)
+        return flat
+
+
+def make_auc_per_head_eval(
+    predict_fn: Callable[[Any, Any], jnp.ndarray],  # (params, batch) → [B, H] probs
+    eval_batches,  # list of (batch, labels [B, H])
+    head_names,
+):
+    """Per-engagement-head AUC eval loop ≡ the reference's per-class metric
+    fns (``deepbird/.../earlybird/metrics.py``, push ``metric_fn_utils.py``).
+
+    Returns an eval_fn(params) → {"auc/<head>": …, "auc_mean": …} usable as
+    Trainer.fit's eval_fn (set config.eval_metric="auc_mean" for
+    best-checkpoint selection).
+    """
+    from the_algorithm_tpu.training import metrics as M
+
+    def eval_fn(params) -> Dict[str, float]:
+        scores, labels = [], []
+        for batch, y in eval_batches:
+            scores.append(np.asarray(predict_fn(params, batch)))
+            labels.append(np.asarray(y))
+        s = np.concatenate(scores, axis=0)
+        y = np.concatenate(labels, axis=0)
+        out: Dict[str, float] = {}
+        aucs = []
+        for h, name in enumerate(head_names):
+            a = float(M.auc(jnp.asarray(s[:, h]), jnp.asarray(y[:, h])))
+            out[f"auc/{name}"] = a
+            aucs.append(a)
+        out["auc_mean"] = float(sum(aucs) / max(len(aucs), 1))
+        return out
+
+    return eval_fn
