@@ -1,17 +1,23 @@
-"""Official benchmark: SANN retrieval recall@100 + queries/s/chip.
+"""Official benchmark: SANN retrieval recall@100 + queries/s/chip at prod shape.
 
-Builds a prod-shaped synthetic SimClusters index (cluster→top-M tweets
-derived from a sparse tweet-embedding table), runs the fused retrieval scan
-batched, and reports:
+Builds a prod-shaped synthetic SimClusters index — C=145,408 clusters (prod
+145k, ``simclusters_v2/README.md:33``), M=400 tweets/cluster, 2M-tweet corpus
+with up to KT=32 clusters/tweet — runs the fused retrieval scan batched
+(single-chip AND the shard_map fan-out path), and reports:
 
   - recall@100 of the approximate scan vs. exact brute-force cosine over the
     full tweet table (the ANN-loadtest truth definition,
     ``ann/.../loadtest/LoadTestRecorder.scala:16-60``)
-  - queries/s/chip at batch-Q steady state
+  - queries/s/chip at batch-Q steady state (single-chip + sharded paths)
+  - MaskNet ranking candidates/s/chip and training examples/s/chip with
+    XLA-counted FLOPs and MFU vs. the chip's bf16 peak
+  - the all-to-all sharded-table lookup microbench: rows/s and GB/s vs. the
+    HBM roofline on a 16M-row table (ICI legs of the exchange are exercised
+    on the 8-device CPU mesh in tests; one real chip here → HBM-only)
 
-Prints ONE JSON line. vs_baseline compares q/s on this single chip against
-the reference's >6000 RPS *whole prod JVM fleet* through the same path
-(``simclusters-ann/README.md:15``).
+Prints ONE JSON line. vs_baseline compares retrieval q/s on this single chip
+against the reference's >6000 RPS *whole prod JVM fleet* through the same
+path (``simclusters-ann/README.md:15``).
 """
 
 from __future__ import annotations
@@ -45,43 +51,76 @@ from the_algorithm_tpu.ops.sparse import PAD_ID, SparseEmbedding
 from the_algorithm_tpu.simclusters import ann
 from the_algorithm_tpu.training import metrics
 
-# prod-shaped operating point (simclusters-ann/README.md:7,23-33)
-C = 8192  # clusters (prod: 145k; scaled so the bench fits one chip's HBM comfortably)
+# prod operating point (simclusters-ann/README.md:7,23-33; summingbird
+# Configs.scala:38-61; simclusters_v2/README.md:33)
+N_COMM = 512
+CPC = 284  # clusters per community (disjoint cover)
+C = N_COMM * CPC  # 145,408 clusters ≈ prod 145k
 M = 400  # tweets per cluster (prod M=400)
 N = 50  # scan clusters (prod N=50)
 X = 200  # results (prod X=200)
-T = 200_000  # tweet corpus
-KT = 16  # clusters per tweet embedding
+T = 2_000_000  # tweet corpus
+KT = 32  # clusters per tweet embedding (prod tweets carry up to 400)
 Q = 256  # query batch
 K_RECALL = 100
 
+# chip peak tables (bf16 matmul FLOP/s, HBM bytes/s) by device_kind substring
+_CHIP_PEAKS = {
+    "v5 lite": (197e12, 819e9),
+    "v5e": (197e12, 819e9),
+    "v5p": (459e12, 2765e9),
+    "v6 lite": (918e12, 1640e9),
+    "v6e": (918e12, 1640e9),
+    "v4": (275e12, 1228e9),
+}
+
+
+def chip_peaks():
+    kind = jax.devices()[0].device_kind
+    for sub, peaks in _CHIP_PEAKS.items():
+        if sub in kind.lower():
+            return kind, peaks
+    return kind, (None, None)
+
+
+def _compiled_flops(jitted, *args):
+    """XLA's own FLOP count for the compiled program (audit-friendly MFU)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
 
 def build_corpus(seed=0):
-    """Sparse tweet embeddings clustered into communities + derived index.
+    """Sparse tweet embeddings clustered into communities (vectorized).
 
-    Cluster load is kept under the index row capacity M (expected
-    T·KT/n_comm/clusters_per_comm ≈ 195 < 400), matching the prod regime
-    where the streaming job's top-1600 rows rarely saturate.
+    Communities partition the cluster space (disjoint cover of all C
+    clusters); each tweet draws KT distinct clusters from one community via a
+    pre-sampled subset pool. Average cluster load T·KT/C ≈ 440 > M, so index
+    rows saturate at top-400 — the prod streaming-job regime.
     """
     rng = np.random.default_rng(seed)
-    n_comm = 64
-    clusters_per_comm = 16 * KT  # 256 clusters per community
-    comm_clusters = np.stack(
-        [
-            rng.choice(C, clusters_per_comm, replace=False)
-            for _ in range(n_comm)
-        ]
-    )
-    tweet_comm = rng.integers(0, n_comm, T)
-    ids = np.empty((T, KT), np.int64)
-    for t in range(T):
-        ids[t] = rng.choice(comm_clusters[tweet_comm[t]], KT, replace=False)
+    comm_clusters = rng.permutation(C).reshape(N_COMM, CPC).astype(np.int32)
+    n_pool = 256  # distinct KT-subsets per community
+    keys = np.argsort(
+        rng.random((N_COMM, n_pool, CPC)), axis=-1
+    )[..., :KT]
+    pools = np.take_along_axis(
+        np.broadcast_to(comm_clusters[:, None, :], (N_COMM, n_pool, CPC)),
+        keys, axis=-1,
+    )  # [N_COMM, n_pool, KT]
+    tweet_comm = rng.integers(0, N_COMM, T)
+    pick = rng.integers(0, n_pool, T)
+    ids = pools[tweet_comm, pick]  # [T, KT] distinct per tweet
     scores = rng.uniform(0.1, 1.0, size=(T, KT)).astype(np.float32)
     return ids.astype(np.int32), scores, tweet_comm, comm_clusters
 
 
 def build_index(tweet_ids, tweet_scores):
-    """cluster→top-M rows from the tweet table (host-side, numpy)."""
+    """cluster→top-M rows from the tweet table (host-side, vectorized)."""
     flat_c = tweet_ids.reshape(-1)
     flat_s = tweet_scores.reshape(-1)
     flat_t = np.repeat(np.arange(T, dtype=np.int32), KT)
@@ -90,17 +129,16 @@ def build_index(tweet_ids, tweet_scores):
     idx_ids = np.full((C, M), int(PAD_ID), np.int32)
     idx_scores = np.zeros((C, M), np.float32)
     start = np.searchsorted(fc, np.arange(C))
-    end = np.searchsorted(fc, np.arange(C) + 1)
-    for c in range(C):
-        n = min(end[c] - start[c], M)
-        idx_ids[c, :n] = ft[start[c] : start[c] + n]
-        idx_scores[c, :n] = fs[start[c] : start[c] + n]
+    rank = np.arange(fc.shape[0], dtype=np.int64) - start[fc]
+    keep = rank < M
+    idx_ids[fc[keep], rank[keep]] = ft[keep]
+    idx_scores[fc[keep], rank[keep]] = fs[keep]
     ts = np.zeros((C, M), np.int32)
     return idx_ids, idx_scores, ts
 
 
 def exact_topk(queries_ids, queries_scores, tweet_ids, tweet_scores, k):
-    """Brute-force cosine truth via sparse→dense scatter matmul on device."""
+    """Brute-force cosine truth via blocked gather-matmul on device."""
     q_dense = np.zeros((Q, C), np.float32)
     for q in range(Q):
         q_dense[q, queries_ids[q]] = queries_scores[q]
@@ -112,31 +150,59 @@ def exact_topk(queries_ids, queries_scores, tweet_ids, tweet_scores, k):
     ti = jnp.asarray(tweet_ids)
     tsc = jnp.asarray(tweet_scores)
     tn = jnp.asarray(np.maximum(t_norm, 1e-9))
+    BLK = 8192
 
+    # arrays are arguments, never closures: closed-over device arrays embed
+    # as HLO constants and blow past the remote-compile payload limit
     @jax.jit
-    def score_all():
-        # gather query weights at each tweet's clusters: [Q, T, KT] is too
-        # big; do it as scatter to dense tweet matrix in blocks
+    def score_all(qd, ti, tsc, tn):
         def block(carry, start):
-            ti_b = jax.lax.dynamic_slice_in_dim(ti, start, 4096, axis=0)
-            ts_b = jax.lax.dynamic_slice_in_dim(tsc, start, 4096, axis=0)
-            tn_b = jax.lax.dynamic_slice_in_dim(tn, start, 4096, axis=0)
-            qw = qd[:, ti_b.reshape(-1)].reshape(Q, 4096, KT)
+            ti_b = jax.lax.dynamic_slice_in_dim(ti, start, BLK, axis=0)
+            ts_b = jax.lax.dynamic_slice_in_dim(tsc, start, BLK, axis=0)
+            tn_b = jax.lax.dynamic_slice_in_dim(tn, start, BLK, axis=0)
+            qw = qd[:, ti_b.reshape(-1)].reshape(Q, BLK, KT)
             s = jnp.einsum("qtk,tk->qt", qw, ts_b) / tn_b[None, :]
             return carry, s
 
-        _, blocks = jax.lax.scan(
-            block, None, jnp.arange(0, T, 4096)
-        )
+        _, blocks = jax.lax.scan(block, None, jnp.arange(0, T, BLK))
         scores = jnp.moveaxis(blocks, 0, 1).reshape(Q, -1)[:, :T]
         return jax.lax.top_k(scores, k)
 
-    _, top_ids = jax.block_until_ready(score_all())
-    return np.asarray(top_ids)
+    _, top_ids = score_all(qd, ti, tsc, tn)
+    return np.asarray(top_ids)  # the fetch is the sync
+
+
+def _materialize(out):
+    """Force execution by FETCHING a (small) value.
+
+    On the tunneled remote backend ``block_until_ready`` returns before the
+    device has executed anything (measured: a 6-TFLOP program "blocks" in
+    0.3 ms); only a host fetch round-trips through the execution stream. The
+    device stream is in-order, so fetching the last output's smallest leaf
+    forces every queued dispatch to finish.
+    """
+    leaves = jax.tree_util.tree_leaves(out)
+    smallest = min(leaves, key=lambda l: getattr(l, "size", 0))
+    np.asarray(smallest)
+
+
+def _steady_state(fn, arg, reps):
+    """Pipeline async dispatches, fetch once — production-front amortization.
+
+    The single ~24 ms tunnel round-trip of the final fetch is amortized over
+    ``reps`` dispatches; keep reps high enough that it stays <10% of total.
+    """
+    _materialize(fn(arg))  # warm + sync
+    out = None
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(arg)
+    _materialize(out)
+    return (time.time() - t0) / reps
 
 
 def bench_ranking():
-    """MaskNet heavy-ranker scoring throughput (candidates/s/chip)."""
+    """MaskNet heavy-ranker scoring throughput (candidates/s/chip) + MFU."""
     from the_algorithm_tpu.models import masknet
 
     cfg = masknet.MaskNetConfig(
@@ -158,24 +224,13 @@ def bench_ranking():
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(B, cfg.num_features)).astype(np.float32)
     )
-    jax.block_until_ready(score(x))  # compile
-    # steady state: pipeline dispatches (JAX async dispatch keeps the chip
-    # fed back-to-back); blocking once at the end excludes per-call host
-    # round-trip latency, which a production front amortizes the same way
-    reps = 30
-    t0 = time.time()
-    out = None
-    for _ in range(reps):
-        out = score(x)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / reps
-    return B / dt
+    flops = _compiled_flops(score, x)
+    dt = _steady_state(score, x, reps=100)
+    return B / dt, (flops / dt if flops else None), (flops / B if flops else None)
 
 
 def bench_training():
-    """MaskNet multi-task train-step throughput (examples/s/chip):
-    fwd + bwd + adam update at prod feature width, steady state (the
-    params carry makes each scanned step depend on the last)."""
+    """MaskNet multi-task train-step throughput (examples/s/chip) + MFU."""
     import optax
 
     from the_algorithm_tpu.models import masknet
@@ -199,26 +254,75 @@ def bench_training():
     )
 
     @jax.jit
-    def step(params, opt_state):
+    def step(state):
+        params, opt_state = state
         loss, grads = jax.value_and_grad(
             lambda p: masknet.multi_task_loss(model.apply(p, x), y)
         )(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return optax.apply_updates(params, updates), opt_state
 
-    params, opt_state, _ = jax.block_until_ready(step(params, opt_state))
-    # steady state: successive steps chain through params (async dispatch)
+    flops = _compiled_flops(step, (params, opt_state))
+    state = step((params, opt_state))
+    _materialize(state)  # compile + sync
+    reps = 50
+    t0 = time.time()
+    for _ in range(reps):
+        state = step(state)  # loop-carried through params: truly serialized
+    _materialize(state)
+    dt = (time.time() - t0) / reps
+    return B / dt, (flops / dt if flops else None)
+
+
+def bench_lookup():
+    """All-to-all sharded-table lookup vs. the HBM roofline (BASELINE kernel).
+
+    One real chip here → the exchange's ICI legs are identity and the cost is
+    the HBM row gather + output write; multi-shard routing is validated on
+    the 8-device CPU mesh (tests/test_parallel.py) and in dryrun_multichip.
+    """
+    from the_algorithm_tpu.core.mesh import MeshSpec, make_mesh
+    from the_algorithm_tpu.parallel import sharded_table
+
+    rows, dim = 16_000_000, 128  # 8.2 GB table
+    mesh = make_mesh(MeshSpec(data=1, model=jax.device_count()))
+    key = jax.random.PRNGKey(0)
+    table = jax.device_put(
+        jax.random.normal(key, (rows, dim), jnp.float32),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("model", None)
+        ),
+    )
+    B, iters = 65536, 16
+    ids_all = jnp.asarray(
+        np.random.default_rng(1).integers(0, rows, (iters, B), dtype=np.int64),
+        jnp.int32,
+    )
+
+    @jax.jit
+    def run(table, ids_all):
+        def step(acc, ids):
+            got = sharded_table.multiget_all_to_all(mesh, table, ids)
+            return acc + jnp.sum(got, dtype=jnp.float32), None
+
+        acc, _ = jax.lax.scan(step, jnp.float32(0), ids_all)
+        return acc
+
+    _materialize(run(table, ids_all))  # compile + sync
     reps = 20
     t0 = time.time()
-    loss = None
+    out = None
     for _ in range(reps):
-        params, opt_state, loss = step(params, opt_state)
-    jax.block_until_ready(loss)
+        out = run(table, ids_all)
+    _materialize(out)
     dt = (time.time() - t0) / reps
-    return B / dt
+    rows_per_s = iters * B / dt
+    bytes_moved = iters * B * dim * 4 * 2  # row read + output write
+    return rows_per_s, bytes_moved / dt
 
 
 def main():
+    chip, (peak_flops, peak_hbm) = chip_peaks()
     tweet_ids, tweet_scores, tweet_comm, comm_clusters = build_corpus()
     idx_ids, idx_scores, idx_ts = build_index(tweet_ids, tweet_scores)
     index = ClusterTweetIndex(
@@ -240,22 +344,32 @@ def main():
         max_scan_clusters=N, max_top_tweets_per_cluster=M, max_num_results=X,
         scoring_algorithm=ScoringAlgorithm.COSINE,
     )
-    query_fn = jax.jit(
-        lambda s: ann.get_tweet_candidates_batch(index, s, cfg)
+    # index passed as an argument (not a closure) — see exact_topk note
+    raw_query_fn = jax.jit(
+        lambda idx, s: ann.get_tweet_candidates_batch(idx, s, cfg)
     )
-    ids_out, _ = jax.block_until_ready(query_fn(sources))  # compile + correctness output
-
-    # steady state: pipeline dispatches (async) and block once at the end —
-    # per-dispatch host latency overlaps device execution exactly as a
-    # production front's request pipeline would
-    reps = 20
-    t0 = time.time()
-    out = None
-    for _ in range(reps):
-        out = query_fn(sources)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / reps
+    query_fn = lambda s: raw_query_fn(index, s)  # noqa: E731
+    ids_out = np.asarray(query_fn(sources)[0])  # compile + correctness output
+    dt = _steady_state(query_fn, sources, reps=100)
     qps = Q / dt
+
+    # sharded fan-out path on the same chip(s): shard_map + exact re-merge at
+    # the N·M-exact default partials cap
+    mesh = None
+    try:
+        from the_algorithm_tpu.core.mesh import MeshSpec, make_mesh
+
+        mesh = make_mesh(MeshSpec(data=1, model=jax.device_count()))
+        sh_index = ann.shard_index(mesh, index)
+        raw_sharded = jax.jit(
+            lambda idx, s: ann.get_tweet_candidates_sharded(mesh, idx, s, cfg)
+        )
+        sharded_fn = lambda s: raw_sharded(sh_index, s)  # noqa: E731
+        sh_dt = _steady_state(sharded_fn, sources, reps=50)
+        sharded_qps = Q / sh_dt
+        del sh_index
+    except Exception:
+        sharded_qps = None
 
     truth = exact_topk(q_ids, q_scores, tweet_ids, tweet_scores, K_RECALL)
     recall = float(
@@ -269,7 +383,7 @@ def main():
     # algorithm-parity recall: our kernel vs. the literal JVM hashmap oracle
     # on a query subsample — the "≥95% of reference recall" criterion reduces
     # to this ratio because both run the same published algorithm.
-    n_oracle = 16
+    n_oracle = 8
     oracle_hits, oracle_total = 0, 0
     got_np = np.asarray(ids_out)
     for q in range(n_oracle):
@@ -283,8 +397,18 @@ def main():
         oracle_total += len(want_ids)
     oracle_parity = oracle_hits / max(oracle_total, 1)
 
-    ranking_cps = bench_ranking()
-    training_eps = bench_training()
+    # free the retrieval state before the big-table/ranking phases
+    del index, query_fn, ids_out, truth
+    del tweet_ids, tweet_scores, idx_ids, idx_scores, idx_ts
+
+    ranking_cps, ranking_flops_s, flops_per_cand = bench_ranking()
+    training_eps, training_flops_s = bench_training()
+    lookup_rows_s, lookup_bytes_s = bench_lookup()
+
+    def mfu(flops_s):
+        if flops_s and peak_flops:
+            return round(flops_s / peak_flops, 4)
+        return None
 
     print(
         json.dumps(
@@ -295,10 +419,25 @@ def main():
                 "vs_baseline": round(qps / 6000.0, 3),
                 "recall_at_100": round(recall, 4),
                 "oracle_parity_recall": round(oracle_parity, 4),
+                "sharded_queries_per_s": (
+                    round(sharded_qps, 1) if sharded_qps else None
+                ),
                 "ranking_candidates_per_s_per_chip": round(ranking_cps, 1),
+                "ranking_mfu": mfu(ranking_flops_s),
+                "ranking_flops_per_candidate": (
+                    round(flops_per_cand) if flops_per_cand else None
+                ),
                 "training_examples_per_s_per_chip": round(training_eps, 1),
+                "training_mfu": mfu(training_flops_s),
+                "lookup_rows_per_s": round(lookup_rows_s, 1),
+                "lookup_gb_per_s": round(lookup_bytes_s / 1e9, 2),
+                "lookup_hbm_roofline_frac": (
+                    round(lookup_bytes_s / peak_hbm, 4) if peak_hbm else None
+                ),
+                "chip": chip,
                 "batch": Q,
                 "index_shape": [C, M],
+                "corpus": [T, KT],
                 "scan": [N, X],
             }
         )

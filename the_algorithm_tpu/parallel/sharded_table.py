@@ -162,41 +162,41 @@ def route_and_gather(local_tables, ids, *, rows_per_shard: int,
     B = ids.shape[0]
     cap = int(capacity) if capacity else B
     ids = ids.astype(jnp.int32)
+    if E == 1:
+        # degenerate mesh: the multiget IS a local gather — skip routing
+        idx = jnp.clip(ids, 0, rows_per_shard - 1)
+        rows = jax.tree_util.tree_map(lambda tbl: tbl[idx], local_tables)
+        return rows, jnp.zeros((), jnp.int32)
     owner = jnp.clip(ids // rows_per_shard, 0, E - 1)
-    order = jnp.argsort(owner, stable=True)
-    sorted_ids = ids[order]
-    sorted_owner = owner[order]
-    # rank within the owner bucket = position − first index of that owner
-    first = jnp.searchsorted(sorted_owner, sorted_owner, side="left")
-    pos = jnp.arange(B, dtype=jnp.int32) - first.astype(jnp.int32)
+    # rank within the owner bucket WITHOUT a sort: a running count per owner
+    # (cumsum of the [B, E] owner one-hot — log-depth scan, far cheaper than
+    # the bitonic argsort it replaces on TPU, and keeps request order stable)
+    onehot = owner[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, E), 1)
+    running = jnp.cumsum(onehot.astype(jnp.int32), axis=0)
+    pos = jnp.sum(jnp.where(onehot, running, 0), axis=1) - 1  # [B]
     valid = pos < cap
     # overflowed requests get an out-of-bounds slot → dropped by the scatter
-    slot = jnp.where(valid, sorted_owner * cap + pos, E * cap)
-    send_ids = (
-        jnp.zeros((E * cap,), jnp.int32).at[slot].set(sorted_ids, mode="drop")
-    )
-    orig_for_slot = (
-        jnp.full((E * cap,), B, jnp.int32)
-        .at[slot]
-        .set(order.astype(jnp.int32), mode="drop")
-    )
+    slot = jnp.where(valid, owner * cap + pos, E * cap)
+    send_ids = jnp.zeros((E * cap,), jnp.int32).at[slot].set(ids, mode="drop")
 
     # collective 1: ids → owners. recv_ids[e] = ids device e requests from us.
     recv_ids = jax.lax.all_to_all(send_ids.reshape(E, cap), axis, 0, 0)
     my_offset = jax.lax.axis_index(axis) * rows_per_shard
     local_idx = jnp.clip(recv_ids - my_offset, 0, rows_per_shard - 1)
 
+    safe_slot = jnp.where(valid, slot, 0)
+
     def fetch(tbl):
         rows = tbl[local_idx]  # [E, cap, ...] local HBM gather
         # collective 2: rows → requesters. back[o] = rows owner o sent us.
         back = jax.lax.all_to_all(rows, axis, 0, 0)
         flat = back.reshape((E * cap,) + back.shape[2:])
-        out = (
-            jnp.zeros((B,) + flat.shape[1:], flat.dtype)
-            .at[orig_for_slot]
-            .set(flat, mode="drop")
+        # unpermute as a GATHER (request i's row sits at its own slot) —
+        # no data scatter on the hot path
+        out = flat[safe_slot]
+        return jnp.where(
+            valid.reshape((B,) + (1,) * (out.ndim - 1)), out, 0
         )
-        return out
 
     rows = jax.tree_util.tree_map(fetch, local_tables)
     overflow = (B - jnp.sum(valid)).astype(jnp.int32)

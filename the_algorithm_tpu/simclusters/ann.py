@@ -186,10 +186,13 @@ def get_tweet_candidates_sharded(
                 max_top_tweets_per_cluster=config.max_top_tweets_per_cluster,
                 earliest_ts=earliest, latest_ts=latest,
             )
-            # keep top-R partials by dot (bandwidth cap for the gather)
+            # keep top-R partials by dot (bandwidth cap for the gather);
+            # at the exact default R ≥ #partials the selection is the
+            # identity — skip the top_k sort entirely
+            if R >= uniq.shape[0]:
+                return uniq, dot, norm
             key = jnp.where(uniq != PAD_ID, dot, -jnp.inf)
-            k = min(R, key.shape[0])
-            _, idx = jax.lax.top_k(key, k)
+            _, idx = jax.lax.top_k(key, R)
             return uniq[idx], dot[idx], norm[idx]
 
         uniq, dot, norm = jax.vmap(one_query)(

@@ -128,10 +128,23 @@ class Trainer:
         return jax.jit(train_step, donate_argnums=(0, 1))
 
     def shard_batch(self, batch: Any) -> Any:
-        """Place a host batch data-sharded on the mesh (leading axis)."""
+        """Place a host batch data-sharded on the mesh (leading axis).
+
+        Multi-process (jax.distributed over DCN): each host passes its own
+        *local* slice of the global batch; the global array assembles from
+        the per-process shards — the per-host sharded input pipeline of
+        SURVEY §2.3 (Kafka/HDFS splits → per-host batches).
+        """
+        multihost = jax.process_count() > 1
+
         def put(x):
             spec = P(DATA_AXIS, *([None] * (jnp.ndim(x) - 1)))
-            return jax.device_put(x, NamedSharding(self.mesh, spec))
+            sharding = NamedSharding(self.mesh, spec)
+            if multihost:
+                return jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x)
+                )
+            return jax.device_put(x, sharding)
 
         return jax.tree_util.tree_map(put, batch)
 
