@@ -1,0 +1,175 @@
+"""CR-mixer engine catalog tests: diffusion, QIG, topic/skit, UAG, UTG/UVG.
+
+≡ ``cr-mixer/server/.../similarity_engine/*.scala`` engines absent from
+round 1 (VERDICT item 9), with dict oracles for the offline builders.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from the_algorithm_tpu.core.config import Params
+from the_algorithm_tpu.graph import graphjet, uteg
+from the_algorithm_tpu.mixers import cr_mixer, similarity_engines as SE
+from the_algorithm_tpu.ops.retrieval import ClusterTweetIndex
+from the_algorithm_tpu.ops.sparse import PAD_ID, SparseEmbedding
+from the_algorithm_tpu.simclusters import ann
+
+P = Params()
+
+
+class TestDiffusion:
+    def test_diffusion_index_oracle_and_engine(self):
+        # 2 retweeters with known InterestedIn; retweets of tweets 5 and 6
+        emb = SparseEmbedding(
+            jnp.asarray([[0, 1], [1, 2]], jnp.int32),
+            jnp.asarray([[1.0, 0.5], [0.8, 0.2]], jnp.float32),
+        )
+        idx = SE.build_diffusion_index(
+            emb,
+            retweet_tweet_ids=np.asarray([5, 6, 5]),
+            retweet_user_rows=np.asarray([0, 1, 1]),
+            num_clusters=4,
+            tweets_per_cluster=4,
+        )
+        ids_np = np.asarray(idx.tweet_ids)
+        sc_np = np.asarray(idx.scores)
+        # cluster 1 mass: tweet5 = 0.5 (u0) + 0.8 (u1) = 1.3; tweet6 = 0.8
+        assert ids_np[1, 0] == 5 and sc_np[1, 0] == pytest.approx(1.3)
+        assert ids_np[1, 1] == 6 and sc_np[1, 1] == pytest.approx(0.8)
+
+        from the_algorithm_tpu.ops.retrieval import ScoringAlgorithm
+
+        engine = SE.DiffusionEngine(
+            idx,
+            ann.SimClustersANNConfig(
+                max_scan_clusters=2, max_top_tweets_per_cluster=4,
+                max_num_results=4,
+                scoring_algorithm=ScoringAlgorithm.DOT_PRODUCT,
+            ),
+            embedding_fn=lambda q: SparseEmbedding(
+                jnp.asarray([1, 2], jnp.int32),
+                jnp.asarray([1.0, 0.3], jnp.float32),
+            ),
+        )
+        got = engine.get({}, P)
+        assert got and got[0].id == 5  # highest diffusion mass first
+
+
+class TestQIG:
+    def test_build_table_cosine_oracle(self):
+        clicks = np.asarray(
+            [[0, 1], [0, 2], [1, 1], [1, 2], [2, 1], [2, 3]]
+        )
+        ids, scores = SE.build_qig_table(clicks, num_tweets=5, k=3)
+        ids, scores = np.asarray(ids), np.asarray(scores)
+        # deg: t1=3, t2=2, t3=1; cooc(1,2)=2, cooc(1,3)=1
+        row1 = dict(zip(ids[1], scores[1]))
+        assert row1[2] == pytest.approx(2 / np.sqrt(3 * 2))
+        assert row1[3] == pytest.approx(1 / np.sqrt(3 * 1))
+        # symmetric
+        row2 = dict(zip(ids[2], scores[2]))
+        assert row2[1] == pytest.approx(2 / np.sqrt(3 * 2))
+
+    def test_engine_thresholds(self):
+        clicks = np.asarray([[0, 1], [0, 2], [1, 1], [1, 2], [2, 1], [2, 3]])
+        ids, scores = SE.build_qig_table(clicks, num_tweets=5, k=3)
+        eng = SE.QIGEngine(
+            ids, scores, source_tweet_fn=lambda q: 1, min_score=0.7
+        )
+        got = eng.get({}, P)
+        assert [c.id for c in got] == [2]  # only cos(1,2)=0.816 >= 0.7
+
+
+class TestTopicTweet:
+    def _index(self):
+        ids = jnp.asarray(
+            [[10, 11, int(PAD_ID)], [20, 21, 22]], jnp.int32
+        )
+        scores = jnp.asarray([[0.9, 0.5, 0.0], [0.8, 0.7, 0.2]], jnp.float32)
+        return ClusterTweetIndex(ids, scores, jnp.zeros_like(ids))
+
+    def test_standard_vs_high_precision(self):
+        idx = self._index()
+        std = SE.TopicTweetEngine(idx, topic_fn=lambda q: 1, min_relevance=0.3)
+        hp = SE.TopicTweetEngine(idx, topic_fn=lambda q: 1, high_precision=True)
+        assert [c.id for c in std.get({}, P)] == [20, 21]
+        assert [c.id for c in hp.get({}, P)] == [20]
+
+
+def _engagement_setup():
+    left = uteg.init_graph(num_users=8, width=8)
+    # users 0,1 both engaged tweets 3 and 4; user 2 engaged tweet 4 only
+    left = uteg.record_engagements(
+        left,
+        user_ids=np.asarray([0, 0, 1, 1, 2]),
+        tweet_ids=np.asarray([3, 4, 3, 4, 4]),
+        types=np.ones(5, np.int32),
+        timestamps=np.arange(5, dtype=np.int64) + 10,
+    )
+    right = graphjet.init_right_index(num_tweets=8, width=8)
+    right = graphjet.record_right(
+        right,
+        tweet_ids=np.asarray([3, 4, 3, 4, 4]),
+        user_ids=np.asarray([0, 0, 1, 1, 2]),
+        timestamps=np.arange(5, dtype=np.int64) + 10,
+    )
+    return left, right
+
+
+class TestUTGAndUAG:
+    def test_utg_engine_related_tweets(self):
+        left, right = _engagement_setup()
+        eng = SE.UTGEngine(
+            left, right, source_tweet_fn=lambda q: 3, max_results=4
+        )
+        got = eng.get({}, P)
+        assert [c.id for c in got] == [4]
+        assert got[0].features["cooccurrence"] == 2.0  # users 0 and 1
+
+    def test_uag_engine_flags_promoted(self):
+        left, _ = _engagement_setup()
+        eng = SE.UAGEngine(
+            left, seeds_fn=lambda q: ([0, 1], [1.0, 1.0]), max_results=4
+        )
+        got = eng.get({}, P)
+        assert got and all(c.features.get("promoted") for c in got)
+        assert {c.id for c in got} <= {3, 4}
+
+
+class TestRouterIntegration:
+    def test_full_registry_blends_all_engines(self):
+        left, right = _engagement_setup()
+        clicks = np.asarray([[0, 3], [0, 4], [1, 3], [1, 4]])
+        qig_ids, qig_scores = SE.build_qig_table(clicks, num_tweets=8, k=4)
+        qig = SE.QIGEngine(qig_ids, qig_scores, source_tweet_fn=lambda s: 3)
+        utg = SE.UTGEngine(left, right, source_tweet_fn=lambda s: 3)
+        uag = SE.UAGEngine(left, seeds_fn=lambda s: ([0, 1], [1.0, 1.0]))
+
+        specs = [
+            cr_mixer.EngineSpec(
+                "QIG", cr_mixer.SignalKind.TWEET_ENGAGEMENT,
+                lambda sig, p: qig.get(sig.entity_id, p),
+            ),
+            cr_mixer.EngineSpec(
+                "UTG", cr_mixer.SignalKind.TWEET_ENGAGEMENT,
+                lambda sig, p: utg.get(sig.entity_id, p),
+            ),
+            cr_mixer.EngineSpec(
+                "UAG", cr_mixer.SignalKind.CONSUMER,
+                lambda sig, p: uag.get(sig.entity_id, p),
+            ),
+        ]
+        gen = cr_mixer.CrCandidateGenerator(
+            specs, cr_mixer.CrMixerConfig(max_results=10)
+        )
+        signals = [
+            cr_mixer.SourceSignal(
+                cr_mixer.SignalKind.TWEET_ENGAGEMENT, 3, 1.0
+            ),
+            cr_mixer.SourceSignal(cr_mixer.SignalKind.CONSUMER, 0, 1.0),
+        ]
+        out = gen.generate(signals, P)
+        assert out
+        # tweet 4 is surfaced by QIG, UTG, and UAG → accumulates top evidence
+        assert out[0].id == 4

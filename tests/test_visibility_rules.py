@@ -1,0 +1,142 @@
+"""Visibility rule catalog specs (≡ visibilitylib rule families).
+
+Table-driven: (safety level, features, expected action [, triggered rule]).
+"""
+
+import pytest
+
+from the_algorithm_tpu.pipeline import visibility_rules as VR
+from the_algorithm_tpu.pipeline.visibility import Action, SafetyLevel
+
+L = SafetyLevel
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return VR.catalog_engine()
+
+
+def test_catalog_has_thirty_plus_rules():
+    assert len(VR.all_rule_names()) >= 30
+
+
+CASES = [
+    # (id, level, features, expected action, expected rule or None)
+    ("clean-allow", L.TIMELINE_HOME, {}, Action.ALLOW, None),
+    ("deleted-drop", L.TIMELINE_HOME, {"is_deleted": True}, Action.DROP,
+     "DropDeletedTweet"),
+    ("abusive-label-drop", L.TIMELINE_HOME,
+     {"tweet_labels": {"abusive"}}, Action.DROP, "AbusiveTweetLabelRule"),
+    ("abusive-self-allow", L.TIMELINE_HOME,
+     {"tweet_labels": {"abusive"}, "viewer_is_author": True},
+     Action.ALLOW, None),
+    ("abusive-hr-follower-allow", L.TIMELINE_HOME,
+     {"tweet_labels": {"abusive_high_recall"},
+      "viewer_follows_author": True}, Action.ALLOW, None),
+    ("abusive-hr-nonfollower-drop", L.TIMELINE_HOME,
+     {"tweet_labels": {"abusive_high_recall"}}, Action.DROP,
+     "AbusiveHighRecallNonFollowerTweetLabelRule"),
+    ("nsfw-interstitial", L.TIMELINE_HOME,
+     {"tweet_labels": {"nsfw_high_precision"}}, Action.INTERSTITIAL,
+     "NsfwHighPrecisionTweetLabelRule"),
+    ("nsfw-opt-in-allow", L.TIMELINE_HOME,
+     {"tweet_labels": {"nsfw_high_precision"}, "nsfw_opt_in": True},
+     Action.ALLOW, None),
+    ("gore-interstitial", L.TIMELINE_HOME,
+     {"tweet_labels": {"gore_and_violence"}}, Action.INTERSTITIAL,
+     "GoreAndViolenceTweetLabelRule"),
+    ("toxicity-downrank", L.TIMELINE_HOME, {"toxicity_score": 0.92},
+     Action.DOWNRANK, "HighToxicityScoreDownrankHighQualitySectionRule"),
+    ("toxicity-below-threshold-allow", L.TIMELINE_HOME,
+     {"toxicity_score": 0.9}, Action.ALLOW, None),
+    ("pdna-drop", L.TIMELINE_HOME, {"tweet_labels": {"pdna"}}, Action.DROP,
+     "PdnaTweetLabelRule"),
+    ("suspended-drop", L.TIMELINE_HOME, {"author_is_suspended": True},
+     Action.DROP, "SuspendedAuthorRule"),
+    ("fosnr-interstitial", L.TIMELINE_HOME,
+     {"tweet_labels": {"fosnr_restricted"}}, Action.INTERSTITIAL,
+     "FosnrInterstitialRule"),
+    ("public-interest", L.TIMELINE_HOME,
+     {"tweet_labels": {"public_interest"}}, Action.INTERSTITIAL,
+     "PublicInterestInterstitialRule"),
+    ("muted-nonfollow-drop", L.TIMELINE_HOME,
+     {"viewer_mutes_author": True}, Action.DROP, "DropViewerMutedAuthor"),
+    ("muted-but-following-allow", L.TIMELINE_HOME,
+     {"viewer_mutes_author": True, "viewer_follows_author": True},
+     Action.ALLOW, None),
+    # profile timelines: author's own content stays visible
+    ("profile-abusive-allow", L.TIMELINE_PROFILE,
+     {"tweet_labels": {"abusive"}}, Action.ALLOW, None),
+    ("profile-pdna-drop", L.TIMELINE_PROFILE, {"tweet_labels": {"pdna"}},
+     Action.DROP, "PdnaTweetLabelRule"),
+    ("profile-suspended-drop", L.TIMELINE_PROFILE,
+     {"author_is_suspended": True}, Action.DROP, "SuspendedAuthorRule"),
+    # safe search
+    ("search-nsfw-drop", L.SEARCH, {"is_nsfw_media": True}, Action.DROP,
+     "SafeSearchNsfwDropRule"),
+    ("search-nsfw-opt-in-interstitial-not-drop", L.SEARCH,
+     {"tweet_labels": {"nsfw_high_precision"}, "nsfw_opt_in": True},
+     Action.ALLOW, None),
+    ("search-untrusted-url-drop", L.SEARCH,
+     {"tweet_labels": {"untrusted_url"}}, Action.DROP, None),
+    # recommendations hard drops
+    ("recs-nsfw-drop", L.RECOMMENDATIONS, {"is_nsfw_media": True},
+     Action.DROP, "DropNsfwFromRecs"),
+    ("recs-toxicity-drop-at-lower-threshold", L.RECOMMENDATIONS,
+     {"toxicity_score": 0.85}, Action.DROP, "DropHighToxicityFromRecs"),
+    ("recs-not-interested-drop", L.RECOMMENDATIONS,
+     {"viewer_not_interested": True}, Action.DROP,
+     "DropNotInterestedAuthorFromRecs"),
+    ("home-toxicity-085-only-downranks", L.TIMELINE_HOME,
+     {"toxicity_score": 0.85}, Action.ALLOW, None),
+    # notifications
+    ("notif-spam-author-drop", L.NOTIFICATIONS,
+     {"author_labels": {"spam"}}, Action.DROP, "SpamAuthorLabelRule"),
+    ("notif-not-graduated-downrank", L.NOTIFICATIONS,
+     {"author_labels": {"not_graduated"}}, Action.DOWNRANK,
+     "NotGraduatedConversationsAuthorLabelRule"),
+]
+
+
+@pytest.mark.parametrize(
+    "case_id,level,features,want_action,want_rule",
+    CASES, ids=[c[0] for c in CASES],
+)
+def test_rule_table(engine, case_id, level, features, want_action, want_rule):
+    res = engine.evaluate(level, features)
+    assert res.action == want_action
+    if want_rule is not None:
+        assert want_rule in res.triggered_rules
+
+
+def test_fail_closed_rule_drops_on_error(engine):
+    """PdnaTweetLabelRule is fail-closed: a broken feature map drops."""
+
+    class Exploding(dict):
+        def get(self, k, default=None):
+            raise RuntimeError("store unavailable")
+
+    res = engine.evaluate(L.TIMELINE_PROFILE, Exploding())
+    assert res.action == Action.DROP
+
+
+def test_severity_ordering_drop_beats_downrank(engine):
+    res = engine.evaluate(
+        L.TIMELINE_HOME,
+        {"toxicity_score": 0.99, "tweet_labels": {"abusive"}},
+    )
+    assert res.action == Action.DROP
+
+
+def test_decider_gate_disables_rule():
+    from the_algorithm_tpu.pipeline.visibility import (
+        Rule, VisibilityRuleEngine,
+    )
+
+    rule = VR.TWEET_LABEL_RULES[0]
+    import dataclasses
+
+    gated = dataclasses.replace(rule, enabled=lambda: False)
+    eng = VisibilityRuleEngine({L.TIMELINE_HOME: [gated]})
+    res = eng.evaluate(L.TIMELINE_HOME, {"tweet_labels": {"abusive"}})
+    assert res.action == Action.ALLOW

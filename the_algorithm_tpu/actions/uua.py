@@ -43,6 +43,51 @@ class ActionType(enum.Enum):
     SERVER_TWEET_CREATE = "server_tweet_create"
     SERVER_TWEET_DELETE = "server_tweet_delete"
     SERVER_FOLLOW = "server_follow"
+    # tweetypie create/delete kinds (TweetypieEventAdapter)
+    SERVER_TWEET_REPLY = "server_tweet_reply"
+    SERVER_TWEET_RETWEET = "server_tweet_retweet"
+    SERVER_TWEET_QUOTE = "server_tweet_quote"
+    SERVER_TWEET_EDIT = "server_tweet_edit"
+    SERVER_TWEET_UNREPLY = "server_tweet_unreply"
+    SERVER_TWEET_UNRETWEET = "server_tweet_unretweet"
+    SERVER_TWEET_UNQUOTE = "server_tweet_unquote"
+    # social-graph server ops (SocialGraphAdapter)
+    SERVER_UNFOLLOW = "server_unfollow"
+    SERVER_BLOCK = "server_block"
+    SERVER_UNBLOCK = "server_unblock"
+    SERVER_MUTE = "server_mute"
+    SERVER_UNMUTE = "server_unmute"
+    SERVER_USER_REPORT = "server_user_report"
+    # ads spend-server callbacks (AdsCallbackEngagementsAdapter)
+    SERVER_PROMOTED_TWEET_FAV = "server_promoted_tweet_fav"
+    SERVER_PROMOTED_TWEET_UNFAV = "server_promoted_tweet_unfav"
+    SERVER_PROMOTED_TWEET_REPLY = "server_promoted_tweet_reply"
+    SERVER_PROMOTED_TWEET_RETWEET = "server_promoted_tweet_retweet"
+    SERVER_PROMOTED_TWEET_CLICK = "server_promoted_tweet_click"
+    SERVER_PROMOTED_TWEET_REPORT = "server_promoted_tweet_report"
+    SERVER_PROMOTED_TWEET_BLOCK_AUTHOR = "server_promoted_tweet_block_author"
+    SERVER_PROMOTED_TWEET_MUTE_AUTHOR = "server_promoted_tweet_mute_author"
+    SERVER_PROMOTED_TWEET_CLICK_PROFILE = "server_promoted_tweet_click_profile"
+    SERVER_PROMOTED_TWEET_VIDEO_PLAYBACK_50 = (
+        "server_promoted_tweet_video_playback_50"
+    )
+    SERVER_PROMOTED_PROFILE_FOLLOW = "server_promoted_profile_follow"
+    SERVER_PROMOTED_PROFILE_UNFOLLOW = "server_promoted_profile_unfollow"
+    # email notifications (EmailNotificationEventAdapter)
+    CLIENT_TWEET_EMAIL_CLICK = "client_tweet_email_click"
+    # archival streams (Favorite/RetweetArchivalEventsAdapter)
+    SERVER_TWEET_ARCHIVE_FAVORITE = "server_tweet_archive_favorite"
+    SERVER_TWEET_UNARCHIVE_FAVORITE = "server_tweet_unarchive_favorite"
+    SERVER_TWEET_ARCHIVE_RETWEET = "server_tweet_archive_retweet"
+    SERVER_TWEET_UNARCHIVE_RETWEET = "server_tweet_unarchive_retweet"
+    # user modifications (UserModificationAdapter)
+    SERVER_USER_CREATE = "server_user_create"
+    SERVER_USER_UPDATE = "server_user_update"
+    # video client events (VideoClientEventUtils)
+    CLIENT_TWEET_VIDEO_PLAYBACK_25 = "client_tweet_video_playback_25"
+    CLIENT_TWEET_VIDEO_PLAYBACK_75 = "client_tweet_video_playback_75"
+    CLIENT_TWEET_VIDEO_PLAYBACK_95 = "client_tweet_video_playback_95"
+    CLIENT_TWEET_VIDEO_QUALITY_VIEW = "client_tweet_video_quality_view"
 
 
 NEGATIVE_ACTIONS = {
@@ -141,14 +186,29 @@ def tls_favs_adapter(event: Mapping[str, Any]) -> List[UnifiedUserAction]:
     ]
 
 
+_SOCIAL_GRAPH_OPS = {
+    "follow": ActionType.SERVER_FOLLOW,
+    "unfollow": ActionType.SERVER_UNFOLLOW,
+    "block": ActionType.SERVER_BLOCK,
+    "unblock": ActionType.SERVER_UNBLOCK,
+    "mute": ActionType.SERVER_MUTE,
+    "unmute": ActionType.SERVER_UNMUTE,
+    "report": ActionType.SERVER_USER_REPORT,
+}
+
+
 def social_graph_adapter(event: Mapping[str, Any]) -> List[UnifiedUserAction]:
-    """≡ ``SocialGraphAdapter``: server-side follow events."""
-    if event.get("op") != "follow":
+    """≡ ``SocialGraphAdapter``: server-side graph write events
+    (follow/unfollow/block/unblock/mute/unmute/report)."""
+    action = _SOCIAL_GRAPH_OPS.get(event.get("op"))
+    if action is None:
+        return []
+    if event.get("source_id") is None or event.get("target_id") is None:
         return []
     return [
         UnifiedUserAction(
             user_id=int(event["source_id"]),
-            action_type=ActionType.SERVER_FOLLOW,
+            action_type=action,
             item_id=int(event["target_id"]),
             timestamp_ms=int(event.get("ts_ms", 0)),
         )

@@ -156,3 +156,267 @@ class EarlybirdEngine(CandidateSource):
         sq = self.query_fn(query)
         ids, scores = eb.search(self.index, sq, max_results=self.max_results)
         return _to_candidates(ids, scores, self.name)
+
+
+class DiffusionEngine(CandidateSource):
+    """Retweet-diffusion retrieval ≡ ``DiffusionBasedSimilarityEngine.scala``.
+
+    Consumer-based: the user's SimClusters InterestedIn embedding queries a
+    *diffusion* cluster→tweet index — built not from favs but from the
+    InterestedIn vectors of each tweet's RETWEETERS, so it surfaces tweets
+    that diffuse through the viewer's communities. Same fused SANN kernel,
+    different index.
+    """
+
+    def __init__(
+        self,
+        diffusion_index: ClusterTweetIndex,
+        config: ann.SimClustersANNConfig,
+        embedding_fn: Callable[[Any], SparseEmbedding],
+        name: str = "Diffusion",
+    ):
+        self.index = diffusion_index
+        self.config = config
+        self.embedding_fn = embedding_fn
+        self._name = name
+
+    @property
+    def name(self):
+        return self._name
+
+    def get(self, query, params) -> List[Candidate]:
+        emb = self.embedding_fn(query)
+        ids, scores = ann.get_tweet_candidates(self.index, emb, self.config)
+        return _to_candidates(ids, scores, self.name)
+
+
+def build_diffusion_index(
+    retweeter_interested_in: SparseEmbedding,  # [U, K] retweeters' embeddings
+    retweet_tweet_ids: np.ndarray,  # [E] tweet retweeted
+    retweet_user_rows: np.ndarray,  # [E] row of the retweeter in ^
+    num_clusters: int,
+    tweets_per_cluster: int,
+) -> ClusterTweetIndex:
+    """Offline diffusion-index build (host-side): each retweet event adds
+    the retweeter's InterestedIn mass to (cluster, tweet) cells; keep the
+    top-M tweets per cluster. ≡ the diffusion dataset pipeline the engine
+    reads (``DiffusionBasedSimilarityEngine`` store)."""
+    ids_np = np.asarray(retweeter_interested_in.ids)
+    sc_np = np.asarray(retweeter_interested_in.scores)
+    acc: dict = {}
+    for t, u in zip(retweet_tweet_ids, retweet_user_rows):
+        for c, s in zip(ids_np[u], sc_np[u]):
+            if int(c) == int(PAD_ID):
+                continue
+            key = (int(c), int(t))
+            acc[key] = acc.get(key, 0.0) + float(s)
+    idx_ids = np.full((num_clusters, tweets_per_cluster), int(PAD_ID), np.int32)
+    idx_scores = np.zeros((num_clusters, tweets_per_cluster), np.float32)
+    per_cluster: dict = {}
+    for (c, t), s in acc.items():
+        per_cluster.setdefault(c, []).append((s, t))
+    for c, entries in per_cluster.items():
+        entries.sort(reverse=True)
+        for m, (s, t) in enumerate(entries[:tweets_per_cluster]):
+            idx_ids[c, m] = t
+            idx_scores[c, m] = s
+    ts = np.zeros_like(idx_ids)
+    return ClusterTweetIndex(
+        jnp.asarray(idx_ids), jnp.asarray(idx_scores), jnp.asarray(ts)
+    )
+
+
+class QIGEngine(CandidateSource):
+    """Query-interaction-graph similar tweets ≡ ``TweetBasedQigSimilarityEngine``.
+
+    Tweet-based: a precomputed similar-tweets table (from search-query
+    co-click co-occurrence) keyed by source tweet; the engine is one device
+    gather of the source row + score threshold.
+    """
+
+    def __init__(
+        self,
+        similar_ids: jnp.ndarray,  # [T, K] int32 PAD_ID-padded
+        similar_scores: jnp.ndarray,  # [T, K] float32
+        source_tweet_fn: Callable[[Any], int],
+        min_score: float = 0.0,
+        name: str = "QIG",
+    ):
+        self.similar_ids = similar_ids
+        self.similar_scores = similar_scores
+        self.source_tweet_fn = source_tweet_fn
+        self.min_score = min_score
+        self._name = name
+
+    @property
+    def name(self):
+        return self._name
+
+    def get(self, query, params) -> List[Candidate]:
+        t = int(self.source_tweet_fn(query))
+        ids = self.similar_ids[t]
+        scores = self.similar_scores[t]
+        keep = np.asarray(scores) >= self.min_score
+        return _to_candidates(
+            np.where(keep, np.asarray(ids), int(PAD_ID)), scores, self.name
+        )
+
+
+def build_qig_table(
+    query_clicks: "np.ndarray",  # [E, 2] (query_id, tweet_id) click events
+    num_tweets: int,
+    k: int,
+) -> tuple:
+    """Offline QIG build: tweets clicked from the same search query
+    co-occur; score = cooc / sqrt(deg·deg) (cosine over the query-click
+    incidence, the QIG similarity)."""
+    from collections import defaultdict
+
+    by_query = defaultdict(set)
+    for q, t in query_clicks:
+        by_query[int(q)].add(int(t))
+    cooc: dict = defaultdict(float)
+    deg = np.zeros(num_tweets, np.float32)
+    for tweets in by_query.values():
+        for t in tweets:
+            deg[t] += 1
+        tl = sorted(tweets)
+        for i, a in enumerate(tl):
+            for b in tl[i + 1 :]:
+                cooc[(a, b)] += 1.0
+    ids = np.full((num_tweets, k), int(PAD_ID), np.int32)
+    scores = np.zeros((num_tweets, k), np.float32)
+    per: dict = defaultdict(list)
+    for (a, b), c in cooc.items():
+        s = c / max(np.sqrt(deg[a] * deg[b]), 1e-9)
+        per[a].append((s, b))
+        per[b].append((s, a))
+    for t, entries in per.items():
+        entries.sort(reverse=True)
+        for m, (s, o) in enumerate(entries[:k]):
+            ids[t, m] = o
+            scores[t, m] = s
+    return jnp.asarray(ids), jnp.asarray(scores)
+
+
+class TopicTweetEngine(CandidateSource):
+    """Topic→tweets retrieval ≡ ``SkitTopicTweetSimilarityEngine`` /
+    ``SkitHighPrecisionTopicTweetSimilarityEngine``.
+
+    A topic→top-tweets index (ids+cosine relevance, built by the topic-tweet
+    offline job); high-precision mode raises the relevance floor. One row
+    gather + threshold on device."""
+
+    def __init__(
+        self,
+        topic_index: ClusterTweetIndex,  # rows keyed by topic id
+        topic_fn: Callable[[Any], int],
+        min_relevance: float = 0.0,
+        high_precision_relevance: float = 0.75,
+        high_precision: bool = False,
+        name: str = "SkitTopicTweet",
+    ):
+        self.topic_index = topic_index
+        self.topic_fn = topic_fn
+        self.min_relevance = (
+            high_precision_relevance if high_precision else min_relevance
+        )
+        self._name = name
+
+    @property
+    def name(self):
+        return self._name
+
+    def get(self, query, params) -> List[Candidate]:
+        topic = int(self.topic_fn(query))
+        ids = np.asarray(self.topic_index.tweet_ids[topic])
+        scores = np.asarray(self.topic_index.scores[topic])
+        keep = scores >= self.min_relevance
+        return _to_candidates(
+            np.where(keep, ids, int(PAD_ID)), scores, self.name
+        )
+
+
+class UAGEngine(CandidateSource):
+    """User-Ad-Graph traversal ≡ ``ConsumersBasedUserAdGraphSimilarityEngine``.
+
+    Same left-seeded bipartite traversal as UTEG, over the user→promoted
+    tweet engagement graph: promoted tweets engaged by accounts similar to
+    the viewer."""
+
+    def __init__(
+        self,
+        ad_graph: uteg_mod.EngagementGraph,
+        seeds_fn: Callable[[Any], tuple],
+        max_results: int = 200,
+        min_social_proof: int = 1,
+        name: str = "UAG",
+    ):
+        self.graph = ad_graph
+        self.seeds_fn = seeds_fn
+        self.max_results = max_results
+        self.min_social_proof = min_social_proof
+        self._name = name
+
+    @property
+    def name(self):
+        return self._name
+
+    def get(self, query, params) -> List[Candidate]:
+        seed_ids, seed_weights = self.seeds_fn(query)
+        ids, scores, _ = uteg_mod.recommend(
+            self.graph,
+            jnp.asarray(seed_ids, jnp.int32),
+            jnp.asarray(seed_weights, jnp.float32),
+            max_results=self.max_results,
+            min_social_proof=self.min_social_proof,
+        )
+        cands = _to_candidates(ids, scores, self.name)
+        for c in cands:
+            c.features["promoted"] = True
+        return cands
+
+
+class UTGEngine(CandidateSource):
+    """Tweet-based co-engagement similarity ≡
+    ``TweetBasedUserTweetGraphSimilarityEngine`` (UVG = same with a video
+    candidate mask): two-hop traversal source tweet → engaging users →
+    their other tweets, cosine-normalized by degrees."""
+
+    def __init__(
+        self,
+        left: uteg_mod.EngagementGraph,
+        right,  # graphjet.RightIndex
+        source_tweet_fn: Callable[[Any], int],
+        max_results: int = 200,
+        min_cooccurrence: int = 1,
+        candidate_mask=None,  # [T] bool (set for the UVG variant)
+        name: str = "UTG",
+    ):
+        self.left = left
+        self.right = right
+        self.source_tweet_fn = source_tweet_fn
+        self.max_results = max_results
+        self.min_cooccurrence = min_cooccurrence
+        self.candidate_mask = candidate_mask
+        self._name = name
+
+    @property
+    def name(self):
+        return self._name
+
+    def get(self, query, params) -> List[Candidate]:
+        from the_algorithm_tpu.graph import graphjet
+
+        t = jnp.asarray(int(self.source_tweet_fn(query)), jnp.int32)
+        ids, scores, cooc = graphjet.related_tweets(
+            self.left, self.right, t,
+            max_results=self.max_results,
+            min_cooccurrence=self.min_cooccurrence,
+            candidate_mask=self.candidate_mask,
+        )
+        cands = _to_candidates(ids, scores, self.name)
+        cooc_np = np.asarray(cooc)
+        for i, c in enumerate(cands):
+            c.features["cooccurrence"] = float(cooc_np[i])
+        return cands

@@ -1,0 +1,279 @@
+"""Visibility rule catalog: the major reference rule families as concrete rules.
+
+≡ ``visibilitylib/src/main/scala/com/twitter/visibility/rules/`` — the
+reference composes rules from condition combinators (NonAuthor ×
+TweetLabel, NonFollower × TweetLabel, score thresholds per conversation
+section, viewer-settings gates) into per-SafetyLevel policies
+(``TweetLabelRules.scala``, ``DownrankingRules.scala``,
+``UserLabelRules.scala``, ``FreedomOfSpeechNotReach.scala``,
+``PublicInterestRules.scala``, ``SafeSearchRules.scala``,
+``FollowerRelations.scala``). This module ports the *shape*: combinators +
+~35 concrete rules assembled into level policies for the engine in
+:mod:`the_algorithm_tpu.pipeline.visibility`.
+
+Expected feature keys (a FeatureMap per candidate):
+  tweet_labels: set[str]      — safety labels on the tweet
+  author_labels: set[str]     — safety labels on the author
+  *_score: float              — model scores (toxicity, pspammy, …)
+  viewer_is_author / viewer_follows_author / …: bool relationship bits
+  viewer settings: nsfw_opt_in, sensitive_media_setting
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Mapping
+
+from the_algorithm_tpu.pipeline.visibility import Action, Rule, SafetyLevel
+
+Condition = Callable[[Mapping], bool]
+
+
+# -- condition combinators (rules/Condition.scala) ----------------------------
+
+
+def tweet_label(name: str) -> Condition:
+    return lambda f: name in f.get("tweet_labels", ())
+
+
+def author_label(name: str) -> Condition:
+    return lambda f: name in f.get("author_labels", ())
+
+
+def score_above(key: str, threshold: float) -> Condition:
+    return lambda f: float(f.get(key, 0.0)) > threshold
+
+
+def flag(key: str) -> Condition:
+    return lambda f: bool(f.get(key, False))
+
+
+def non_author(c: Condition) -> Condition:
+    """≡ NonAuthorWithTweetLabelRule: never hide content from its author."""
+    return lambda f: not f.get("viewer_is_author", False) and c(f)
+
+
+def non_follower(c: Condition) -> Condition:
+    """≡ NonFollowerWithTweetLabelRule: followers opted in by following."""
+    return lambda f: (
+        not f.get("viewer_is_author", False)
+        and not f.get("viewer_follows_author", False)
+        and c(f)
+    )
+
+
+def all_of(*cs: Condition) -> Condition:
+    return lambda f: all(c(f) for c in cs)
+
+
+def any_of(*cs: Condition) -> Condition:
+    return lambda f: any(c(f) for c in cs)
+
+
+def not_(c: Condition) -> Condition:
+    return lambda f: not c(f)
+
+
+# -- relationship rules (FollowerRelations.scala) -----------------------------
+
+RELATIONSHIP_RULES = [
+    Rule("DropDeletedTweet", flag("is_deleted"), Action.DROP, "deleted"),
+    Rule("DropAuthorBlockedViewer", flag("author_blocks_viewer"),
+         Action.DROP, "blocked"),
+    Rule("DropViewerBlockedAuthor", flag("viewer_blocks_author"),
+         Action.DROP, "blocked_by_viewer"),
+    Rule("DropViewerMutedAuthor",
+         all_of(flag("viewer_mutes_author"),
+                not_(flag("viewer_follows_author"))),
+         Action.DROP, "muted"),
+    Rule("DropProtectedAuthorNonFollower",
+         non_follower(flag("author_is_protected")),
+         Action.DROP, "protected_author", fail_closed=True),
+]
+
+# -- tweet-label rules (TweetLabelRules.scala) --------------------------------
+
+TWEET_LABEL_RULES = [
+    Rule("AbusiveTweetLabelRule", non_author(tweet_label("abusive")),
+         Action.DROP, "tweet_label_abusive"),
+    Rule("AbusiveHighRecallNonFollowerTweetLabelRule",
+         non_follower(tweet_label("abusive_high_recall")),
+         Action.DROP, "tweet_label_abusive_hr"),
+    Rule("BystanderAbusiveTweetLabelRule",
+         non_author(tweet_label("bystander_abusive")),
+         Action.DROP, "tweet_label_bystander_abusive"),
+    Rule("AutomationNonFollowerTweetLabelRule",
+         non_follower(tweet_label("automation")),
+         Action.DROP, "tweet_label_automation"),
+    Rule("DuplicateContentTweetLabelDropRule",
+         non_author(tweet_label("duplicate_content")),
+         Action.DROP, "tweet_label_duplicate"),
+    Rule("DuplicateMentionNonFollowerTweetLabelRule",
+         non_follower(tweet_label("duplicate_mention")),
+         Action.DROP, "tweet_label_duplicate_mention"),
+    Rule("GoreAndViolenceTweetLabelRule",
+         non_author(all_of(tweet_label("gore_and_violence"),
+                           not_(flag("nsfw_opt_in")))),
+         Action.INTERSTITIAL, "gore_and_violence"),
+    Rule("NsfwHighPrecisionTweetLabelRule",
+         non_author(all_of(tweet_label("nsfw_high_precision"),
+                           not_(flag("nsfw_opt_in")))),
+         Action.INTERSTITIAL, "nsfw_hp"),
+    Rule("NsfwCardImageTweetLabelRule",
+         non_author(all_of(tweet_label("nsfw_card_image"),
+                           not_(flag("nsfw_opt_in")))),
+         Action.INTERSTITIAL, "nsfw_card"),
+    Rule("PdnaTweetLabelRule", tweet_label("pdna"), Action.DROP, "pdna",
+         fail_closed=True),
+    Rule("UntrustedUrlTweetLabelRule",
+         non_follower(tweet_label("untrusted_url")),
+         Action.DROP, "untrusted_url"),
+    Rule("SpamHighRecallNonFollowerTweetLabelRule",
+         non_follower(tweet_label("spam_high_recall")),
+         Action.DROP, "spam_hr"),
+    Rule("LiveLowQualityTweetLabelRule",
+         non_author(tweet_label("live_low_quality")),
+         Action.DOWNRANK, "live_low_quality"),
+    Rule("LowQualityMentionTweetLabelRule",
+         non_follower(tweet_label("low_quality_mention")),
+         Action.DOWNRANK, "low_quality_mention"),
+]
+
+# -- model-score downranking rules (DownrankingRules.scala) -------------------
+
+DOWNRANKING_RULES = [
+    Rule("HighToxicityScoreDownrankHighQualitySectionRule",
+         score_above("toxicity_score", 0.91), Action.DOWNRANK,
+         "toxicity_high_q"),
+    Rule("HighToxicityScoreDownrankLowQualitySectionRule",
+         score_above("toxicity_score", 0.96), Action.DOWNRANK,
+         "toxicity_low_q"),
+    Rule("HighToxicityScoreDownrankAbusiveQualitySectionRule",
+         score_above("toxicity_score", 0.98), Action.DOWNRANK,
+         "toxicity_abusive_q"),
+    Rule("HighProactiveTosScoreTweetLabelDownrankingRule",
+         score_above("proactive_tos_score", 0.9), Action.DOWNRANK,
+         "proactive_tos"),
+    Rule("HighPSpammyTweetScoreDownrankLowQualitySectionRule",
+         score_above("pspammy_score", 0.95), Action.DOWNRANK, "pspammy"),
+    Rule("HighCryptospamScoreConvoDownrankAbusiveQualityRule",
+         score_above("cryptospam_score", 0.9), Action.DOWNRANK, "cryptospam"),
+    Rule("DownrankSpamReplyConversationsTweetLabelRule",
+         non_author(tweet_label("spam_reply")), Action.DOWNRANK,
+         "spam_reply"),
+    Rule("NotGraduatedConversationsAuthorLabelRule",
+         non_follower(author_label("not_graduated")), Action.DOWNRANK,
+         "not_graduated"),
+    Rule("RitoActionedTweetDownrankLowQualitySectionRule",
+         flag("rito_actioned"), Action.DOWNRANK, "rito_actioned"),
+]
+
+# -- author/user-label rules (UserLabelRules.scala) ---------------------------
+
+USER_LABEL_RULES = [
+    Rule("SuspendedAuthorRule", flag("author_is_suspended"), Action.DROP,
+         "suspended_author", fail_closed=True),
+    Rule("DeactivatedAuthorRule", flag("author_is_deactivated"), Action.DROP,
+         "deactivated_author", fail_closed=True),
+    Rule("AbusiveAuthorLabelRule", non_follower(author_label("abusive")),
+         Action.DROP, "author_abusive"),
+    Rule("CompromisedAuthorLabelRule", author_label("compromised"),
+         Action.DROP, "author_compromised"),
+    Rule("SpamAuthorLabelRule", non_follower(author_label("spam")),
+         Action.DROP, "author_spam"),
+    Rule("NsfwAuthorLabelInterstitialRule",
+         non_author(all_of(author_label("nsfw"), not_(flag("nsfw_opt_in")))),
+         Action.INTERSTITIAL, "author_nsfw"),
+]
+
+# -- FOSNR (FreedomOfSpeechNotReach.scala) ------------------------------------
+
+FOSNR_RULES = [
+    Rule("FosnrInterstitialRule",
+         non_author(tweet_label("fosnr_restricted")),
+         Action.INTERSTITIAL, "fosnr"),
+    Rule("FosnrDownrankRule", tweet_label("fosnr_restricted"),
+         Action.DOWNRANK, "fosnr_downrank"),
+]
+
+# -- public interest (PublicInterestRules.scala) ------------------------------
+
+PUBLIC_INTEREST_RULES = [
+    Rule("PublicInterestInterstitialRule",
+         tweet_label("public_interest"), Action.INTERSTITIAL,
+         "public_interest"),
+]
+
+# -- safe search (SafeSearchRules.scala) --------------------------------------
+
+SAFE_SEARCH_RULES = [
+    Rule("SafeSearchNsfwDropRule",
+         all_of(any_of(tweet_label("nsfw_high_precision"),
+                       tweet_label("nsfw_high_recall"),
+                       flag("is_nsfw_media")),
+                not_(flag("nsfw_opt_in"))),
+         Action.DROP, "safe_search_nsfw"),
+    Rule("SafeSearchAbusiveDropRule",
+         any_of(tweet_label("abusive"), tweet_label("abusive_high_recall")),
+         Action.DROP, "safe_search_abusive"),
+    Rule("SafeSearchSpamDropRule",
+         any_of(tweet_label("spam_high_recall"), tweet_label("untrusted_url")),
+         Action.DROP, "safe_search_spam"),
+]
+
+# -- recommendations-only hard drops ------------------------------------------
+
+RECS_ONLY_RULES = [
+    Rule("DropNsfwFromRecs",
+         any_of(flag("is_nsfw_media"), tweet_label("nsfw_high_recall"),
+                author_label("nsfw")),
+         Action.DROP, "nsfw_recs"),
+    Rule("DropHighToxicityFromRecs", score_above("toxicity_score", 0.8),
+         Action.DROP, "toxicity_recs"),
+    Rule("DropNotInterestedAuthorFromRecs", flag("viewer_not_interested"),
+         Action.DROP, "not_interested"),
+]
+
+
+# -- per-level policies (VisibilityPolicy.scala assembly) ----------------------
+
+CATALOG_RULES: Dict[SafetyLevel, List[Rule]] = {
+    SafetyLevel.TIMELINE_HOME: (
+        RELATIONSHIP_RULES + USER_LABEL_RULES + TWEET_LABEL_RULES
+        + FOSNR_RULES + PUBLIC_INTEREST_RULES + DOWNRANKING_RULES
+    ),
+    SafetyLevel.TIMELINE_PROFILE: (
+        # profile timelines keep the author's own content visible: only
+        # relationship + hard user-state + PDNA-grade drops apply
+        RELATIONSHIP_RULES
+        + [r for r in USER_LABEL_RULES
+           if r.name in ("SuspendedAuthorRule", "DeactivatedAuthorRule")]
+        + [r for r in TWEET_LABEL_RULES if r.name == "PdnaTweetLabelRule"]
+    ),
+    SafetyLevel.SEARCH: (
+        RELATIONSHIP_RULES + USER_LABEL_RULES + SAFE_SEARCH_RULES
+        + TWEET_LABEL_RULES + DOWNRANKING_RULES
+    ),
+    SafetyLevel.RECOMMENDATIONS: (
+        RELATIONSHIP_RULES + USER_LABEL_RULES + RECS_ONLY_RULES
+        + TWEET_LABEL_RULES + FOSNR_RULES + DOWNRANKING_RULES
+    ),
+    SafetyLevel.NOTIFICATIONS: (
+        RELATIONSHIP_RULES + USER_LABEL_RULES + TWEET_LABEL_RULES
+        + DOWNRANKING_RULES
+    ),
+}
+
+
+def catalog_engine(stats=None):
+    from the_algorithm_tpu.pipeline.visibility import VisibilityRuleEngine
+
+    return VisibilityRuleEngine(CATALOG_RULES, stats=stats)
+
+
+def all_rule_names() -> List[str]:
+    seen = []
+    for rules in CATALOG_RULES.values():
+        for r in rules:
+            if r.name not in seen:
+                seen.append(r.name)
+    return seen
