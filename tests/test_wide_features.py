@@ -1,0 +1,232 @@
+"""Wide feature path: columnar store, 1056-feature schema, full hydrator
+catalog, and the For You e2e at reference feature width (VERDICT r1 #4 —
+``home-mixer/README.md:22-24``, feature_hydrator/ 109 files)."""
+
+import numpy as np
+import pytest
+
+from the_algorithm_tpu.mixers import feature_schema as fs
+from the_algorithm_tpu.mixers import home_mixer, wide_hydrators as wh
+from the_algorithm_tpu.pipeline.component import (
+    Candidate,
+    CandidatePipeline,
+    CandidateSource,
+)
+
+
+class TestSchema:
+    def test_width_at_least_1000(self):
+        assert fs.total_width(fs.WIDE_SCHEMA) >= 1000
+
+    def test_flat_names_unique(self):
+        names = fs.expand(fs.WIDE_SCHEMA)
+        assert len(names) == len(set(names))
+        assert len(names) == fs.total_width(fs.WIDE_SCHEMA)
+
+
+class TestColumnarStore:
+    def test_gather_aligns_by_id_after_shrink_and_reorder(self):
+        store = fs.ColumnarFeatureStore()
+        ids = np.asarray([30, 10, 20], np.int64)
+        store.add(ids, {"x": np.asarray([3.0, 1.0, 2.0])})
+        # filter removed id=10 and reversed order
+        out = store.gather("x", np.asarray([20, 30]))
+        np.testing.assert_array_equal(out, [2.0, 3.0])
+
+    def test_gather_missing_id_is_zero(self):
+        store = fs.ColumnarFeatureStore()
+        store.add(np.asarray([1, 2]), {"x": np.asarray([1.0, 2.0])})
+        out = store.gather("x", np.asarray([2, 99]))
+        np.testing.assert_array_equal(out, [2.0, 0.0])
+
+    def test_gather_absent_column_is_zeros(self):
+        store = fs.ColumnarFeatureStore()
+        np.testing.assert_array_equal(
+            store.gather("nope", np.asarray([1, 2])), [0.0, 0.0]
+        )
+
+    def test_assemble_vector_features(self):
+        store = fs.ColumnarFeatureStore()
+        ids = np.asarray([5, 6])
+        store.add(ids, {"v": np.arange(6, dtype=np.float32).reshape(2, 3),
+                        "s": np.asarray([7.0, 8.0])})
+        schema = [fs.FeatureSpec("s"), fs.FeatureSpec("v", 3)]
+        mat = store.assemble(ids, schema)
+        np.testing.assert_array_equal(
+            mat, [[7.0, 0, 1, 2], [8.0, 3, 4, 5]]
+        )
+
+    def test_assemble_pads_width_mismatch(self):
+        store = fs.ColumnarFeatureStore()
+        store.add(np.asarray([1]), {"v": np.asarray([[1.0, 2.0]])})
+        mat = store.assemble(np.asarray([1]), [fs.FeatureSpec("v", 4)])
+        np.testing.assert_array_equal(mat, [[1.0, 2.0, 0.0, 0.0]])
+
+
+WORLD = wh.synthetic_world(
+    seed=3, num_users=16, num_authors=16, num_tweets=512, num_clusters=64
+)
+HYDRATORS = wh.build_wide_hydrators(**WORLD)
+
+
+def _query(**kw):
+    defaults = dict(
+        user_id=3, followed_authors=[1, 2, 7], max_results=20,
+        now=10_000_000,
+    )
+    defaults.update(kw)
+    return home_mixer.ForYouQuery(**defaults)
+
+
+def _hydrate_all(query, candidates):
+    for h in HYDRATORS:
+        h.hydrate(query, candidates, None)
+    return fs.store_of(query)
+
+
+class TestWideHydrators:
+    def setup_method(self):
+        self.query = _query()
+        self.cands = [
+            Candidate(id=i * 11 + 1, features={"author_id": i % 16,
+                                               "retrieval_score": 0.5 + i})
+            for i in range(8)
+        ]
+        self.store = _hydrate_all(self.query, self.cands)
+
+    def test_every_schema_column_is_populated(self):
+        """Each schema entry must have a store column of the right shape —
+        the hydrator catalog covers the whole WIDE_SCHEMA, nothing silently
+        assembles to all-zeros from a missing column."""
+        have = set(self.store.names())
+        missing = [s.name for s in fs.WIDE_SCHEMA if s.name not in have]
+        assert missing == []
+
+    def test_assembled_matrix_shape_and_finite(self):
+        ids = np.asarray([c.id for c in self.cands])
+        mat = self.store.assemble(ids, fs.WIDE_SCHEMA)
+        assert mat.shape == (8, fs.total_width(fs.WIDE_SCHEMA))
+        assert np.isfinite(mat).all()
+
+    def test_eb_doc_features_match_oracle(self):
+        ids = np.asarray([c.id for c in self.cands], np.int64)
+        oracle = WORLD["doc_fn"](ids)
+        for j, n in enumerate(fs.EB_DOC_FEATURES):
+            np.testing.assert_allclose(
+                self.store.gather(f"eb_{n}", ids), oracle[n], rtol=1e-6
+            )
+
+    def test_twhin_tweet_rows_match_table(self):
+        ids = np.asarray([c.id for c in self.cands], np.int64)
+        got = self.store.gather("twhin_tweet", ids)
+        want = WORLD["twhin_tweet"][ids % WORLD["twhin_tweet"].shape[0]]
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_viewer_broadcast_columns_constant(self):
+        ids = np.asarray([c.id for c in self.cands], np.int64)
+        emb = self.store.gather("user_interests_emb", ids)
+        assert np.ptp(emb, axis=0).max() == 0.0  # same viewer row everywhere
+        uagg = self.store.gather("user_agg_fav_count_50d", ids)
+        assert np.ptp(uagg) == 0.0
+
+    def test_viewer_follows_author(self):
+        ids = np.asarray([c.id for c in self.cands], np.int64)
+        col = self.store.gather("viewer_follows_author", ids)
+        want = np.asarray(
+            [1.0 if (i % 16) in (1, 2, 7) else 0.0 for i in range(8)]
+        )
+        np.testing.assert_array_equal(col, want)
+
+    def test_context_lift(self):
+        ids = np.asarray([c.id for c in self.cands], np.int64)
+        col = self.store.gather("retrieval_score", ids)
+        np.testing.assert_allclose(
+            col, [0.5 + i for i in range(8)], rtol=1e-6
+        )
+
+    def test_tweet_agg_mean_is_sum_over_count(self):
+        ids = np.asarray([c.id for c in self.cands], np.int64)
+        cnt = self.store.gather("tweet_agg_fav_count_50d", ids)
+        ssum = self.store.gather("tweet_agg_fav_sum_50d", ids)
+        mean = self.store.gather("tweet_agg_fav_mean_50d", ids)
+        np.testing.assert_allclose(mean, ssum / np.maximum(cnt, 1.0), rtol=1e-5)
+
+
+class _StaticSource(CandidateSource):
+    def __init__(self, cands):
+        self._cands = cands
+
+    def get(self, query, params):
+        return [
+            Candidate(id=c.id, features=dict(c.features), source="static")
+            for c in self._cands
+        ]
+
+
+class TestWideForYouE2E:
+    def test_pipeline_scores_wide_matrix_with_filters(self):
+        """Full For You run at 1056-feature width: hydration → filter shrink
+        → columnar assembly → linear scorer; score must equal the oracle
+        computed from the store matrix for the *surviving* candidates
+        (id-alignment across the filter)."""
+        B = 12
+        cands = [
+            Candidate(
+                id=i * 7 + 1,
+                features={"author_id": i % 16, "created_ts": 10_000_000 - i,
+                          "retrieval_score": 1.0},
+            )
+            for i in range(B)
+        ]
+        F = fs.total_width(fs.WIDE_SCHEMA)
+        rng = np.random.default_rng(0)
+        w = rng.normal(0, 0.01, F).astype(np.float32)
+
+        def predict(x):  # [B, F] -> [B, H] "probabilities"
+            s = 1.0 / (1.0 + np.exp(-np.clip(x @ w, -30, 30)))
+            return np.stack([s] * 15, axis=1)
+
+        import jax.numpy as jnp
+        from the_algorithm_tpu.models import masknet
+
+        seen = frozenset({cands[0].id})
+        pipeline = home_mixer.build_for_you_pipeline(
+            candidate_pipelines=[CandidatePipeline(_StaticSource(cands))],
+            hydrators=list(HYDRATORS),
+            predict_fn=predict,
+            feature_schema=fs.WIDE_SCHEMA,
+        )
+        query = _query(seen_tweet_ids=seen, max_results=50)
+        out = pipeline.run(query)
+        assert not out.failures
+        ids = [c.id for c in out.candidates]
+        assert cands[0].id not in ids  # seen filter ran between hydrate/score
+        assert len(ids) == B - 1
+
+        # oracle: assemble the survivors from the store and re-score
+        store = fs.peek_store(query)
+        mat = store.assemble(np.asarray(ids), fs.WIDE_SCHEMA)
+        probs = predict(mat)
+        want = np.asarray(
+            masknet.weighted_model_score(
+                jnp.asarray(probs), masknet.DEFAULT_HEAD_WEIGHTS
+            )
+        )
+        got = np.asarray([c.score for c in out.candidates])
+        # AuthorDiversityRescorer multiplies repeats down; first occurrence
+        # per author keeps the raw combined score
+        first_by_author = {}
+        for j, c in enumerate(out.candidates):
+            a = c.features["author_id"]
+            if a not in first_by_author:
+                first_by_author[a] = j
+        for a, j in first_by_author.items():
+            np.testing.assert_allclose(got[j], want[j], rtol=1e-5)
+
+    def test_legacy_dict_path_still_works(self):
+        """Without columnar hydrators the assembler falls back to dicts."""
+        asm = home_mixer.FeatureMatrixAssembler(["a", "b"])
+        cands = [Candidate(id=1, features={"a": 2.0}),
+                 Candidate(id=2, features={"b": 3.0})]
+        mat = asm(_query(), cands)
+        np.testing.assert_array_equal(mat, [[2.0, 0.0], [0.0, 3.0]])

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from the_algorithm_tpu.mixers import feature_schema
 from the_algorithm_tpu.models import masknet
 from the_algorithm_tpu.pipeline.component import (
     Candidate,
@@ -53,19 +54,50 @@ class ForYouQuery:
 
 
 class FeatureMatrixAssembler:
-    """candidate FeatureMaps → dense [B, F] matrix by a fixed schema
-    (the DataRecordConverter role, ``NaviModelScorer.scala:88-139``)."""
+    """candidate features → dense [B, F] matrix by a fixed schema
+    (the DataRecordConverter/segdense role, ``NaviModelScorer.scala:88-139``).
 
-    def __init__(self, schema: Sequence[str]):
-        self.schema = list(schema)
+    Columnar-first: schema entries present in the request's
+    :class:`~the_algorithm_tpu.mixers.feature_schema.ColumnarFeatureStore`
+    are assembled by vectorized column stacking with searchsorted
+    id-alignment (correct across filter-induced shrink/reorder). Scalar
+    entries the store doesn't carry fall back to the per-candidate dict —
+    the compat path for the narrow object-model features.
+    """
 
-    def __call__(self, candidates: List[Candidate]) -> np.ndarray:
-        out = np.zeros((len(candidates), len(self.schema)), np.float32)
-        for r, c in enumerate(candidates):
-            for j, name in enumerate(self.schema):
-                v = c.features.get(name)
-                if v is not None:
-                    out[r, j] = float(v)
+    def __init__(self, schema: Sequence):
+        self.schema = [
+            s if isinstance(s, feature_schema.FeatureSpec)
+            else feature_schema.FeatureSpec(s)
+            for s in schema
+        ]
+        self.width = feature_schema.total_width(self.schema)
+
+    def __call__(self, query, candidates: List[Candidate]) -> np.ndarray:
+        ids = np.asarray([c.id for c in candidates], np.int64)
+        store = feature_schema.peek_store(query)
+        if store is not None:
+            out = store.assemble(ids, self.schema)
+            # overlay dict-only scalars (store-absent names)
+            have = set(store.names())
+            col = 0
+            for spec in self.schema:
+                if spec.width == 1 and spec.name not in have:
+                    for r, c in enumerate(candidates):
+                        v = c.features.get(spec.name)
+                        if v is not None:
+                            out[r, col] = float(v)
+                col += spec.width
+            return out
+        out = np.zeros((len(candidates), self.width), np.float32)
+        col = 0
+        for spec in self.schema:
+            if spec.width == 1:
+                for r, c in enumerate(candidates):
+                    v = c.features.get(spec.name)
+                    if v is not None:
+                        out[r, col] = float(v)
+            col += spec.width
         return out
 
 
@@ -98,7 +130,7 @@ class MaskNetScorer(Scorer):
     def score(self, query, candidates, params) -> None:
         if not candidates:
             return
-        feats = self.assembler(candidates)
+        feats = self.assembler(query, candidates)
         probs = np.asarray(self.predict_fn(feats))  # [B, H]
         combined = np.asarray(
             masknet.weighted_model_score(jnp.asarray(probs), self.head_weights)
