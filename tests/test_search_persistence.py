@@ -98,7 +98,7 @@ class TestFeatureUpdates:
             jnp.asarray([0], jnp.int32),
             jnp.asarray([100.0]),
         )
-        scores = eb.linear_score(index.features, eb.DEFAULT_LINEAR_WEIGHTS)
+        scores = eb.linear_score(index.features, eb.default_relevance_params())
         slot = int(np.flatnonzero(np.asarray(index.tweet_ids) == 500)[0])
         assert float(scores[slot]) > 0
 

@@ -48,10 +48,26 @@ def tokenize(text: str, max_tokens: int) -> np.ndarray:
     return out
 
 
-# doc-feature schema (the Earlybird schema / ThriftSearchResultFeatures core)
+# doc-feature schema — the Earlybird schema core (``common/schema/``,
+# ThriftSearchResultFeatures): 30 per-doc fields covering engagement counts,
+# content flags, text/language signals, author reputation, and conversation
+# structure. Count fields get log1p'd at scoring time.
 DOC_FEATURES = (
-    "fav_count", "retweet_count", "reply_count", "has_url", "has_image",
-    "has_video", "is_reply", "is_retweet", "text_score", "tweepcred",
+    "fav_count", "reply_count", "retweet_count", "quote_count",
+    "bookmark_count", "created_ts", "text_score", "user_rep",
+    "has_image", "has_video", "has_card", "has_url", "is_reply",
+    "is_retweet", "is_quote", "num_hashtags", "num_mentions",
+    "link_language", "language_match", "prev_user_tweet_engagement",
+    "from_verified_account", "is_trend_tweet", "has_multiple_media",
+    "tweet_age_hours", "parus_score", "from_blue_verified_account",
+    "num_likes_root", "num_replies_root", "conversation_depth",
+    "is_self_thread",
+)
+DOC_FEATURE_INDEX = {n: i for i, n in enumerate(DOC_FEATURES)}
+_COUNT_FIELDS = (
+    "fav_count", "reply_count", "retweet_count", "quote_count",
+    "bookmark_count", "prev_user_tweet_engagement", "num_likes_root",
+    "num_replies_root",
 )
 
 
@@ -115,28 +131,108 @@ def ingest(
 # -- relevance scoring -------------------------------------------------------
 
 
-DEFAULT_LINEAR_WEIGHTS = jnp.asarray(
-    # fav, rt, reply, url, img, video, is_reply, is_rt, text, tweepcred
-    [0.4, 0.3, 0.2, 0.05, 0.1, 0.1, -0.05, -0.1, 1.0, 0.01], jnp.float32
+class RelevanceParams(NamedTuple):
+    """Request-scoped ranking parameters (≡ ThriftRankingParams /
+    ``earlybird/common/ranking/`` — each search request carries its own
+    weights, boosts, and demotions; nothing is hardcoded in the scorer).
+    """
+
+    weights: jnp.ndarray  # [F] per-doc-feature linear weights
+    recency_weight: jnp.ndarray = jnp.float32(0.0)  # boost × decay(now-ts)
+    recency_half_life_s: jnp.ndarray = jnp.float32(6 * 3600.0)
+    reply_demotion: jnp.ndarray = jnp.float32(1.0)  # multiplier if is_reply
+    retweet_demotion: jnp.ndarray = jnp.float32(1.0)
+    language_boost: jnp.ndarray = jnp.float32(0.0)  # added if language_match
+
+
+_DEFAULT_WEIGHT_TABLE = {
+    "fav_count": 0.4, "reply_count": 0.2, "retweet_count": 0.3,
+    "quote_count": 0.2, "bookmark_count": 0.3, "text_score": 1.0,
+    "user_rep": 0.01, "has_image": 0.1, "has_video": 0.1, "has_card": 0.05,
+    "has_url": 0.05, "is_reply": -0.05, "is_retweet": -0.1,
+    "parus_score": 0.5, "from_verified_account": 0.05,
+    "prev_user_tweet_engagement": 0.1, "language_match": 0.1,
+}
+
+
+def default_relevance_params() -> RelevanceParams:
+    w = np.zeros(len(DOC_FEATURES), np.float32)
+    for n, v in _DEFAULT_WEIGHT_TABLE.items():
+        w[DOC_FEATURE_INDEX[n]] = v
+    return RelevanceParams(weights=jnp.asarray(w))
+
+
+_COUNT_MASK = np.asarray(
+    [n in _COUNT_FIELDS for n in DOC_FEATURES], np.bool_
 )
 
 
-def linear_score(features: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+def linear_score(
+    features: jnp.ndarray,
+    relevance: RelevanceParams,
+    created_ts: Optional[jnp.ndarray] = None,
+    now: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     """≡ ``LinearScoringFunction.java:24`` — dot of doc features and the
-    ranking-parameter weights (log1p'd counts for stability)."""
-    counts = jnp.log1p(jnp.maximum(features[..., :3], 0.0))
-    rest = features[..., 3:]
-    x = jnp.concatenate([counts, rest], axis=-1)
-    return jnp.einsum("...f,f->...", x, weights)
+    request's ranking-parameter weights (log1p'd counts for stability),
+    plus recency boost and reply/retweet demotions
+    (``FeatureBasedScoringFunction.java:69`` boost structure)."""
+    mask = jnp.asarray(_COUNT_MASK)
+    x = jnp.where(mask, jnp.log1p(jnp.maximum(features, 0.0)), features)
+    score = jnp.einsum("...f,f->...", x, relevance.weights)
+    if created_ts is not None and now is not None:
+        age = jnp.maximum(now - created_ts, 0).astype(jnp.float32)
+        score = score + relevance.recency_weight * jnp.exp2(
+            -age / relevance.recency_half_life_s
+        )
+    is_reply = features[..., DOC_FEATURE_INDEX["is_reply"]] > 0
+    is_rt = features[..., DOC_FEATURE_INDEX["is_retweet"]] > 0
+    score = score * jnp.where(is_reply, relevance.reply_demotion, 1.0)
+    score = score * jnp.where(is_rt, relevance.retweet_demotion, 1.0)
+    lang = features[..., DOC_FEATURE_INDEX["language_match"]] > 0
+    return score + jnp.where(lang, relevance.language_boost, 0.0)
 
 
 class SearchQuery(NamedTuple):
+    """The serialized query tree's conjunctive serving form
+    (≡ ``queryparser``/SerializedQuery operators actually issued by the
+    products): required terms (AND/OR), excluded terms (NOT), and quoted
+    phrases (position-consecutive token runs, each required)."""
+
     tokens: jnp.ndarray  # [Qt] int32 (PAD for unused)
     require_all: bool  # AND vs OR semantics
     min_ts: jnp.ndarray  # [] int32
     max_ts: jnp.ndarray  # [] int32
     # in-network: sorted follow list (PAD padded); empty ⇒ no author filter
     followed_authors: Optional[jnp.ndarray] = None
+    # NOT terms: a doc containing any is excluded ([Qe] int32, PAD padded)
+    exclude_tokens: Optional[jnp.ndarray] = None
+    # quoted phrases: [Pn, Pl] int32, PAD padded rows; every non-empty
+    # phrase must appear as consecutive tokens
+    phrases: Optional[jnp.ndarray] = None
+
+
+def phrase_match(tokens: jnp.ndarray, phrases: jnp.ndarray) -> jnp.ndarray:
+    """[T] — does each doc contain every non-empty phrase consecutively?
+
+    ``tokens`` [T, L] position-indexed token ids; ``phrases`` [Pn, Pl].
+    Builds the [T, L-Pl+1, Pl] sliding-window view with static shifts (no
+    gather) and reduces on the VPU.
+    """
+    T, L = tokens.shape
+    Pn, Pl = phrases.shape
+    Pl = min(Pl, L)
+    phrases = phrases[:, :Pl]
+    windows = jnp.stack(
+        [tokens[:, j:L - Pl + 1 + j] for j in range(Pl)], axis=-1
+    )  # [T, L-Pl+1, Pl]
+    valid = phrases != PAD_ID  # [Pn, Pl]
+    nonempty = jnp.any(valid, axis=1)  # [Pn]
+    # [T, W, Pn, Pl]: window position j matches phrase token j (or slot unused)
+    eq = windows[:, :, None, :] == phrases[None, None, :, :]
+    ok = jnp.all(eq | ~valid[None, None, :, :], axis=-1)  # [T, W, Pn]
+    found = jnp.any(ok, axis=1)  # [T, Pn]
+    return jnp.all(found | ~nonempty[None, :], axis=1)  # [T]
 
 
 def _author_in_set(author: jnp.ndarray, sorted_follows: jnp.ndarray) -> jnp.ndarray:
@@ -146,19 +242,11 @@ def _author_in_set(author: jnp.ndarray, sorted_follows: jnp.ndarray) -> jnp.ndar
     return sorted_follows[idx] == author
 
 
-def search(
-    index: EarlybirdIndex,
-    query: SearchQuery,
-    *,
-    max_results: int,
-    score_weights: jnp.ndarray = DEFAULT_LINEAR_WEIGHTS,
-    model_score_fn=None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full-corpus scan → (tweet_ids[X], scores[X]).
+def match_mask(index: EarlybirdIndex, query: SearchQuery) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(ok [T], overlap [T]) — the boolean query-tree evaluation.
 
-    ``model_score_fn(features [T, F]) -> [T]`` overrides the linear scorer
-    (≡ ``ModelBasedScoringFunction`` / ``TensorflowBasedScoringFunction``
-    plugging the light ranker in-index).
+    ok = (terms AND/OR) ∧ phrases ∧ ¬excluded ∧ time-window ∧ author-set.
+    overlap = matched-term ratio (the text-score contribution).
     """
     q_valid = query.tokens != PAD_ID  # [Qt]
     # [T, Qt]: does tweet contain query token?
@@ -176,6 +264,17 @@ def search(
     # fetch issues author+time-window-only queries)
     match = match | ~has_terms
 
+    if query.phrases is not None:
+        match &= phrase_match(index.tokens, query.phrases)
+    if query.exclude_tokens is not None:
+        ex_valid = query.exclude_tokens != PAD_ID
+        ex_hit = jnp.any(
+            (index.tokens[:, :, None] == query.exclude_tokens[None, None, :])
+            & ex_valid[None, None, :],
+            axis=(1, 2),
+        )
+        match &= ~ex_hit
+
     ok = (
         match
         & (index.author != PAD_ID)
@@ -184,13 +283,36 @@ def search(
     )
     if query.followed_authors is not None:
         ok &= _author_in_set(index.author, query.followed_authors)
+    return ok, jnp.sum(hit, axis=1) / n_q
+
+
+def search(
+    index: EarlybirdIndex,
+    query: SearchQuery,
+    *,
+    max_results: int,
+    relevance: Optional[RelevanceParams] = None,
+    model_score_fn=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-corpus scan → (tweet_ids[X], scores[X]).
+
+    ``relevance`` carries the request-scoped ranking params (weights,
+    boosts, demotions); ``model_score_fn(features [T, F]) -> [T]``
+    overrides the linear scorer (≡ ``ModelBasedScoringFunction`` /
+    ``TensorflowBasedScoringFunction`` plugging the light ranker in-index).
+    """
+    if relevance is None:
+        relevance = default_relevance_params()
+    ok, overlap = match_mask(index, query)
 
     if model_score_fn is not None:
         score = model_score_fn(index.features)
     else:
-        score = linear_score(index.features, score_weights)
+        score = linear_score(
+            index.features, relevance,
+            created_ts=index.created_ts, now=query.max_ts,
+        )
     # token-overlap ratio folds in as the text score component
-    overlap = jnp.sum(hit, axis=1) / n_q
     score = score + overlap
 
     score = jnp.where(ok, score, -jnp.inf)
@@ -206,9 +328,14 @@ def search_sharded(
     query: SearchQuery,
     *,
     max_results: int,
-    score_weights: jnp.ndarray = DEFAULT_LINEAR_WEIGHTS,
+    relevance: Optional[RelevanceParams] = None,
+    model_score_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Partitioned scan + root merge (≡ ``earlybird_root`` fan-out)."""
+    """Partitioned scan + root merge (≡ ``earlybird_root`` fan-out).
+
+    Supports the full query surface (phrases, negation) and model-based
+    scoring: ``model_score_fn`` runs per shard on the local [T/S, F] block.
+    """
     from jax.sharding import PartitionSpec as P
 
     X = max_results
@@ -218,7 +345,8 @@ def search_sharded(
             tokens, author, ts, feats, tids, jnp.int32(0)
         )
         ids, scores = search(
-            li, query, max_results=X, score_weights=score_weights
+            li, query, max_results=X, relevance=relevance,
+            model_score_fn=model_score_fn,
         )
         all_ids = jax.lax.all_gather(ids, MODEL_AXIS, axis=0, tiled=True)
         all_scores = jax.lax.all_gather(scores, MODEL_AXIS, axis=0, tiled=True)
@@ -239,3 +367,209 @@ def search_sharded(
         index.tokens, index.author, index.created_ts,
         index.features, index.tweet_ids,
     )
+
+
+# -- facets (the earlybird facets endpoint) -----------------------------------
+
+
+def facet_counts(
+    facet_ids: jnp.ndarray,  # [T, Fc] int32 per-doc facet ids (PAD padded)
+    match: jnp.ndarray,  # [T] bool from match_mask
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k facets among matching docs → (facet_ids[k], counts[k]).
+
+    ≡ the facets service (``earlybird/search/facets/``): count hashtag /
+    mention / link facets over the matching doc set. TPU shape: mask →
+    flat sort → run-length boundaries → segment-max of run length via
+    sorted order (no hash map).
+    """
+    flat = jnp.where(match[:, None], facet_ids, PAD_ID).reshape(-1)
+    s = jnp.sort(flat)  # PAD sorts last
+    n = s.shape[0]
+    start = jnp.concatenate(
+        [jnp.ones((1,), bool), s[1:] != s[:-1]]
+    )  # run starts
+    idx = jnp.arange(n)
+    start_pos = jnp.where(start, idx, 0)
+    run_start = jax.lax.associative_scan(jnp.maximum, start_pos)  # [n]
+    # run length at last element of each run = idx - run_start + 1
+    is_end = jnp.concatenate([s[1:] != s[:-1], jnp.ones((1,), bool)])
+    length = idx - run_start + 1
+    cand = jnp.where(is_end & (s != PAD_ID), length, 0)
+    top_counts, pos = jax.lax.top_k(cand, k)
+    ids = jnp.where(top_counts > 0, s[pos], PAD_ID)
+    return ids, top_counts
+
+
+# -- ingester (the tweet → index-document pipeline) ----------------------------
+
+
+@dataclasses.dataclass
+class RawTweet:
+    """Ingester input (≡ the TweetEventData the ingester consumes,
+    ``src/java/com/twitter/search/ingester/``)."""
+
+    tweet_id: int
+    author_id: int
+    created_ts: int
+    text: str
+    language: str = "en"
+    fav_count: int = 0
+    reply_count: int = 0
+    retweet_count: int = 0
+    quote_count: int = 0
+    bookmark_count: int = 0
+    has_image: bool = False
+    has_video: bool = False
+    has_card: bool = False
+    is_reply: bool = False
+    is_retweet: bool = False
+    is_quote: bool = False
+    user_rep: float = 0.0
+    parus_score: float = 0.0
+    from_verified_account: bool = False
+    from_blue_verified_account: bool = False
+    is_trend_tweet: bool = False
+    num_likes_root: int = 0
+    num_replies_root: int = 0
+    conversation_depth: int = 0
+    is_self_thread: bool = False
+    prev_user_tweet_engagement: float = 0.0
+
+
+def _hash_term(term: str) -> int:
+    h1, _ = murmur3_x64_128(term.encode("utf-8"))
+    return int(np.int32(h1 & 0x7FFFFFFF))
+
+
+def build_documents(
+    tweets: Sequence[RawTweet],
+    config: EarlybirdConfig,
+    *,
+    ui_language: str = "en",
+    now: Optional[int] = None,
+    max_facets: int = 8,
+):
+    """Ingester analog: raw tweets → (tokens [B,L], authors, ts, features
+    [B,F], tweet_ids, facets [B,Fc]).
+
+    Text analysis (tokenize + hashtag/mention/url facet extraction +
+    text-quality score) and the full 30-field doc-feature fill happen here,
+    host-side, mirroring the ingester's TwitterTextTokenizer + feature
+    extraction stages; the output arrays go straight into :func:`ingest`.
+    """
+    B, L, F = len(tweets), config.max_tokens, config.num_features
+    tokens = np.full((B, L), int(PAD_ID), np.int32)
+    authors = np.empty(B, np.int32)
+    ts = np.empty(B, np.int32)
+    feats = np.zeros((B, F), np.float32)
+    ids = np.empty(B, np.int32)
+    facets = np.full((B, max_facets), int(PAD_ID), np.int32)
+    for i, t in enumerate(tweets):
+        tokens[i] = tokenize(t.text, L)
+        authors[i] = t.author_id
+        ts[i] = t.created_ts
+        ids[i] = t.tweet_id
+        words = _TOKEN_RE.findall(t.text.lower())
+        tags = [w for w in words if w.startswith("#") or w.startswith("@")]
+        urls = ["__url__"] if ("http://" in t.text or "https://" in t.text) else []
+        for j, f in enumerate((tags + urls)[:max_facets]):
+            facets[i, j] = _hash_term(f)
+        n_words = max(len(words), 1)
+        uniq_ratio = len(set(words)) / n_words
+        row = {
+            "fav_count": t.fav_count, "reply_count": t.reply_count,
+            "retweet_count": t.retweet_count, "quote_count": t.quote_count,
+            "bookmark_count": t.bookmark_count, "created_ts": t.created_ts,
+            # text score: length & diversity heuristic (the ingester's
+            # text-quality stage; any richer scorer slots in here)
+            "text_score": min(n_words / 16.0, 1.0) * uniq_ratio,
+            "user_rep": t.user_rep,
+            "has_image": t.has_image, "has_video": t.has_video,
+            "has_card": t.has_card,
+            "has_url": bool(urls),
+            "is_reply": t.is_reply, "is_retweet": t.is_retweet,
+            "is_quote": t.is_quote,
+            "num_hashtags": sum(1 for w in words if w.startswith("#")),
+            "num_mentions": sum(1 for w in words if w.startswith("@")),
+            "link_language": _hash_term(t.language) % 1000,
+            "language_match": t.language == ui_language,
+            "prev_user_tweet_engagement": t.prev_user_tweet_engagement,
+            "from_verified_account": t.from_verified_account,
+            "is_trend_tweet": t.is_trend_tweet,
+            "has_multiple_media": int(t.has_image) + int(t.has_video) > 1,
+            "tweet_age_hours": max(((now or t.created_ts) - t.created_ts), 0)
+            / 3600.0,
+            "parus_score": t.parus_score,
+            "from_blue_verified_account": t.from_blue_verified_account,
+            "num_likes_root": t.num_likes_root,
+            "num_replies_root": t.num_replies_root,
+            "conversation_depth": t.conversation_depth,
+            "is_self_thread": t.is_self_thread,
+        }
+        for n, v in row.items():
+            if DOC_FEATURE_INDEX.get(n, F) < F:
+                feats[i, DOC_FEATURE_INDEX[n]] = float(v)
+    return (
+        jnp.asarray(tokens), jnp.asarray(authors), jnp.asarray(ts),
+        jnp.asarray(feats), jnp.asarray(ids), jnp.asarray(facets),
+    )
+
+
+def parse_query(text: str, max_tokens: int = 16, max_phrases: int = 2,
+                phrase_len: int = 4) -> dict:
+    """Parse the user-facing query syntax → SearchQuery token fields.
+
+    Supports: bare terms, ``-term`` negation, ``"quoted phrase"`` — the
+    operator surface of the serialized query tree the products issue
+    (``queryparser``). Returns kwargs for :class:`SearchQuery`.
+    """
+    phrases_txt = re.findall(r'"([^"]*)"', text)
+    rest = re.sub(r'"[^"]*"', " ", text)
+    terms, excluded = [], []
+    for w in rest.split():
+        if w.startswith("-") and len(w) > 1:
+            excluded.append(w[1:].lower())
+        else:
+            terms.append(w.lower())
+    tokens = tokenize(" ".join(terms), max_tokens)
+    exclude = tokenize(" ".join(excluded), max_tokens) if excluded else None
+    phrases = None
+    if phrases_txt:
+        phrases = np.stack(
+            [tokenize(p, phrase_len) for p in phrases_txt[:max_phrases]]
+        )
+        if phrases.shape[0] < max_phrases:
+            pad = np.full(
+                (max_phrases - phrases.shape[0], phrase_len), int(PAD_ID),
+                np.int32,
+            )
+            phrases = np.concatenate([phrases, pad])
+    return dict(
+        tokens=jnp.asarray(tokens),
+        exclude_tokens=None if exclude is None else jnp.asarray(exclude),
+        phrases=None if phrases is None else jnp.asarray(phrases),
+    )
+
+
+def doc_feature_reader(index: EarlybirdIndex):
+    """``ids [B] -> {name: [B]}`` closure over the live index — the feed
+    for home-mixer's EarlybirdDocColumnarHydrator (the reference's
+    EarlybirdFeatureHydrator reads these same in-index doc features).
+    Unknown ids read as zero rows."""
+    tids = np.asarray(index.tweet_ids)
+    order = np.argsort(tids, kind="stable")
+    sorted_ids = tids[order]
+    feats = np.asarray(index.features)[order]
+
+    def read(ids: np.ndarray):
+        ids = np.asarray(ids)
+        pos = np.clip(
+            np.searchsorted(sorted_ids, ids), 0, sorted_ids.shape[0] - 1
+        )
+        found = sorted_ids[pos] == ids
+        block = np.where(found[:, None], feats[pos], 0.0).astype(np.float32)
+        return {n: block[:, i] for i, n in enumerate(DOC_FEATURES)}
+
+    return read
