@@ -35,3 +35,28 @@ def mesh_dp8():
     from the_algorithm_tpu.core.mesh import MeshSpec, make_mesh
 
     return make_mesh(MeshSpec(data=8, model=1))
+
+
+# -- test-speed tiers ----------------------------------------------------------
+# The sharded/pallas/native-server/multihost suites dominate wall time with
+# XLA compiles. Auto-mark them `slow` so the inner loop can run
+# `pytest -m "not slow"` (~3x faster); CI runs everything.
+
+_SLOW_MODULES = {
+    "test_multihost", "test_native_front", "test_parallel",
+    "test_tweet_embeddings_ann", "test_seg_scan", "test_gather",
+    "test_data_record_trainer", "test_models_training", "test_twhin",
+    "test_search_persistence",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: XLA-compile-heavy (sharded/pallas/native) tests"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES or "sharded" in item.name:
+            item.add_marker(pytest.mark.slow)

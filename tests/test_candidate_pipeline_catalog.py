@@ -1,0 +1,222 @@
+"""Tweet-mixer candidate-pipeline catalog: spec breadth, store-availability
+skipping, signal routing, param gating, and an end-to-end multi-family blend
+(≡ tweet-mixer/candidate_pipeline/ 50 configs + CandidateSourcesRouter)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from the_algorithm_tpu.core.config import Params
+from the_algorithm_tpu.graph import graphjet, uteg
+from the_algorithm_tpu.mixers import candidate_pipeline_catalog as cat
+from the_algorithm_tpu.mixers import tweet_mixer
+from the_algorithm_tpu.ops.retrieval import ClusterTweetIndex
+from the_algorithm_tpu.ops.sparse import PAD_ID, SparseEmbedding
+from the_algorithm_tpu.search import earlybird as eb
+from the_algorithm_tpu.simclusters import ann
+
+
+@dataclasses.dataclass
+class Query:
+    user_id: int = 1
+    followed_authors: tuple = (2, 3)
+    recent_engagement_ids: tuple = (7,)
+    source_tweet_id: int = None
+    topic_id: int = None
+    geo_id: int = None
+    trend_id: int = None
+    last_searched_tweet_id: int = None
+
+
+def _cluster_index(C=8, M=4, base=100):
+    ids = np.arange(C * M).reshape(C, M).astype(np.int32) + base
+    scores = np.linspace(1, 0.1, C * M).reshape(C, M).astype(np.float32)
+    ts = np.full((C, M), 50, np.int32)
+    return ClusterTweetIndex(jnp.asarray(ids), jnp.asarray(scores),
+                             jnp.asarray(ts))
+
+
+def _emb(ids=(0, 1)):
+    K = 4
+    e_ids = np.full(K, int(PAD_ID), np.int32)
+    e_sc = np.zeros(K, np.float32)
+    for j, c in enumerate(ids):
+        e_ids[j] = c
+        e_sc[j] = 1.0 - 0.1 * j
+    return SparseEmbedding(jnp.asarray(e_ids), jnp.asarray(e_sc))
+
+
+def make_world():
+    rng = np.random.default_rng(0)
+    T, U, D = 64, 8, 16
+
+    # engagement graphs: every user engaged tweets around id 7
+    lg_ids = np.full((U, 8), int(PAD_ID), np.int32)
+    lg_ids[:, 0] = 7
+    lg_ids[:, 1] = np.arange(U) + 20
+    left = uteg.EngagementGraph(
+        jnp.asarray(lg_ids), jnp.zeros((U, 8), jnp.int32),
+        jnp.full((U, 8), 40, jnp.int32),
+    )
+    r_ids = np.full((T, 8), int(PAD_ID), np.int32)
+    r_ids[7, :4] = [1, 2, 3, 4]
+    right = graphjet.RightIndex(
+        jnp.asarray(r_ids), jnp.full((T, 8), 40, jnp.int32)
+    )
+
+    items = rng.normal(0, 1, (T, D)).astype(np.float32)
+    items /= np.linalg.norm(items, axis=1, keepdims=True)
+
+    ebi = eb.init_index(eb.EarlybirdConfig(capacity=16, max_tokens=4))
+    tweets = [eb.RawTweet(tweet_id=900 + i, author_id=2 + (i % 2),
+                          created_ts=10 + i, text=f"hello tpu {i}")
+              for i in range(8)]
+    ebi = eb.ingest(ebi, *eb.build_documents(tweets, eb.EarlybirdConfig(
+        capacity=16, max_tokens=4))[:5])
+
+    qig_ids = np.full((T, 4), int(PAD_ID), np.int32)
+    qig_scores = np.zeros((T, 4), np.float32)
+    qig_ids[9, :2] = [41, 42]
+    qig_scores[9, :2] = [0.9, 0.8]
+
+    return cat.SourceWorld(
+        sann_index=_cluster_index(base=100),
+        sann_config=ann.SimClustersANNConfig(
+            max_scan_clusters=4, max_top_tweets_per_cluster=4,
+            max_num_results=8, max_tweet_candidate_age_hours=1000,
+        ),
+        interested_in_fn=lambda q: _emb((0, 1)),
+        tweet_embedding_fn=lambda t: _emb((int(t) % 4,)),
+        producer_embedding_fn=lambda q: _emb((2,)),
+        cold_index=_cluster_index(base=300),
+        promoted_creator_index=_cluster_index(base=400),
+        twhin_items=jnp.asarray(items),
+        twhin_rebuild_items=jnp.asarray(items),
+        twhin_user_vec_fn=lambda q: jnp.asarray(items[int(q.user_id)]),
+        twhin_tweet_vec_fn=lambda t: jnp.asarray(items[int(t) % T]),
+        dr_tweet_items=jnp.asarray(items),
+        dr_media_items=jnp.asarray(items),
+        dr_evergreen_items=jnp.asarray(items),
+        dr_user_vec_fn=lambda q: jnp.asarray(items[int(q.user_id)]),
+        dr_tweet_vec_fn=lambda t: jnp.asarray(items[int(t) % T]),
+        uteg_graph=left,
+        ad_graph=left,
+        utg_left=left,
+        utg_right=right,
+        video_mask=jnp.asarray(np.ones(T, bool)),
+        topic_index=_cluster_index(base=500),
+        certo_topic_index=_cluster_index(base=600),
+        geo_index=_cluster_index(base=700),
+        trend_index=_cluster_index(base=800),
+        qig_ids=jnp.asarray(qig_ids),
+        qig_scores=jnp.asarray(qig_scores),
+        diffusion_index=_cluster_index(base=200),
+        earlybird_index=ebi,
+        earlybird_query_fn=lambda q: eb.SearchQuery(
+            tokens=jnp.asarray(eb.tokenize("hello", 4)), require_all=False,
+            min_ts=jnp.int32(0), max_ts=jnp.int32(1000),
+            followed_authors=jnp.asarray(sorted(q.followed_authors),
+                                         jnp.int32),
+        ),
+    )
+
+
+WORLD = make_world()
+CATALOG = cat.build_catalog(WORLD)
+
+
+class TestCatalogBreadth:
+    def test_spec_count_and_uniqueness(self):
+        specs = cat.catalog_specs()
+        assert len(specs) >= 27
+        names = [s.name for s in specs]
+        assert len(names) == len(set(names))
+
+    def test_all_specs_build_with_full_world(self):
+        assert len(CATALOG) == len(cat.catalog_specs())
+
+    def test_missing_store_skips_spec(self):
+        world = dataclasses.replace(WORLD, topic_index=None, qig_ids=None)
+        built = {s.name for s, _ in cat.build_catalog(world)}
+        missing = {s.name for s in cat.catalog_specs()} - built
+        assert missing == {
+            "popular_topic_tweets", "skit_topic_tweets",
+            "skit_high_precision_topic_tweets", "qig_search_history_tweets",
+        }
+
+    def test_family_coverage(self):
+        fams = {s.family for s in cat.catalog_specs()}
+        assert fams >= {"earlybird", "simclusters", "twhin",
+                        "deep_retrieval", "graph", "topic", "qig",
+                        "diffusion"}
+
+
+class TestRouter:
+    def test_signal_gating(self):
+        # no topic/geo/trend/search signals → those pipelines excluded
+        pipes = cat.enabled_pipelines(CATALOG, Query(), Params())
+        names = {p.source.name for p in pipes}
+        assert "PopularTopicTweets" not in names
+        assert "QigSearchHistoryTweets" not in names
+        assert "SimClustersInterestedIn" in names
+        assert "UTEG" in names
+
+    def test_topic_signal_enables_topic_pipelines(self):
+        pipes = cat.enabled_pipelines(CATALOG, Query(topic_id=2), Params())
+        names = {p.source.name for p in pipes}
+        assert {"PopularTopicTweets", "SkitTopicTweets",
+                "SkitHighPrecisionTopicTweets", "CertoTopicTweets"} <= names
+
+    def test_param_gate_disables(self):
+        spec = next(s for s, _ in CATALOG if s.name == "uteg")
+        pipes = cat.enabled_pipelines(
+            CATALOG, Query(), Params({spec.param: False})
+        )
+        assert "UTEG" not in {p.source.name for p in pipes}
+
+    def test_default_disabled_specs_off(self):
+        pipes = cat.enabled_pipelines(CATALOG, Query(), Params())
+        names = {p.source.name for p in pipes}
+        assert "UAG" not in names  # ads off by default
+        assert "ContentExplorationSimclustersCold" not in names
+
+    def test_no_follows_drops_follow_pipelines(self):
+        q = Query(followed_authors=())
+        names = {p.source.name
+                 for p in cat.enabled_pipelines(CATALOG, q, Params())}
+        assert "UTEG" not in names
+        assert "EarlybirdInNetwork" not in names
+
+
+class TestEndToEnd:
+    def test_multi_family_blend(self):
+        q = Query(topic_id=1, last_searched_tweet_id=9, source_tweet_id=7)
+        pipes = cat.enabled_pipelines(CATALOG, q, Params())
+        mixer = tweet_mixer.TweetMixer(
+            [p.source for p in pipes], max_results=100
+        )
+        out = mixer.get_candidates(q)
+        assert len(out) > 20
+        sources = {c.source for c in out}
+        # at least 5 distinct families contribute
+        assert len(sources) >= 5, sources
+        ids = [c.id for c in out]
+        assert len(ids) == len(set(ids))
+
+    def test_expansion_unions_recent_tweets(self):
+        spec, pipe = next(
+            (s, p) for s, p in CATALOG
+            if s.name == "utg_expansion_tweet_based"
+        )
+        q = Query(source_tweet_id=7, recent_engagement_ids=(7,))
+        out = pipe.source.get(q, Params())
+        assert out and all(c.source == "UTGExpansionTweetBased" for c in out)
+
+    def test_qig_reads_similar_table(self):
+        spec, pipe = next(
+            (s, p) for s, p in CATALOG if s.name == "qig_search_history_tweets"
+        )
+        out = pipe.source.get(Query(last_searched_tweet_id=9), Params())
+        assert {c.id for c in out} == {41, 42}

@@ -88,6 +88,13 @@ class ActionType(enum.Enum):
     CLIENT_TWEET_VIDEO_PLAYBACK_75 = "client_tweet_video_playback_75"
     CLIENT_TWEET_VIDEO_PLAYBACK_95 = "client_tweet_video_playback_95"
     CLIENT_TWEET_VIDEO_QUALITY_VIEW = "client_tweet_video_quality_view"
+    # behavioral client events the heavy-ranker heads train on
+    # (BehavioralClientEventAdapter: bookmark/share/linger/open-link/screenshot)
+    CLIENT_TWEET_BOOKMARK = "client_tweet_bookmark"
+    CLIENT_TWEET_SHARE = "client_tweet_share"
+    CLIENT_TWEET_LINGER = "client_tweet_linger"
+    CLIENT_TWEET_OPEN_LINK = "client_tweet_open_link"
+    CLIENT_TWEET_SCREENSHOT = "client_tweet_screenshot"
 
 
 NEGATIVE_ACTIONS = {
