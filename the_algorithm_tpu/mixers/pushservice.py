@@ -58,7 +58,14 @@ def target_is_eligible(
 
 @dataclasses.dataclass
 class PushPipeline:
-    """candidates → light rank (truncate) → heavy rank → take."""
+    """target predicates → candidates → pre-ranking predicates → light rank
+    (truncate) → heavy rank → per-type fatigue take → NTab write.
+
+    The predicate stacks mirror the reference's ``predicate/`` catalog
+    (``PreRankingPredicates``, ``HealthPredicates``, ``FatiguePredicate``,
+    ``TargetPredicates``); build them from
+    :mod:`the_algorithm_tpu.mixers.push_candidates`.
+    """
 
     sources: Sequence[CandidateSource]
     light_predict: Callable[[np.ndarray], np.ndarray]  # [B, F] -> [B]
@@ -67,11 +74,21 @@ class PushPipeline:
     heavy_head_weights: np.ndarray  # [H] (e.g. open, fav heads)
     light_keep: int = 64  # light-ranker truncation before the heavy model
     policy: FatiguePolicy = FatiguePolicy()
+    # extended predicate stacks (each optional; empty = legacy behavior)
+    target_predicates: Sequence[Callable] = ()  # (target, now) -> bool
+    candidate_predicates: Sequence[Callable] = ()  # (target, cand) -> bool
+    batch_candidate_predicates: Sequence[Callable] = ()  # (target, [c]) -> [bool]
+    ntab: Optional["object"] = None  # push_candidates.NTabStore
+    fatigue_config: Optional["object"] = None  # push_candidates.PushFatigueConfig
 
     def run(self, target: PushTarget, now: int) -> Optional[Candidate]:
-        """Returns the single notification to send, or None."""
+        """Returns the single notification to send (recorded in NTab), or
+        None."""
         if not target_is_eligible(target, now, self.policy):
             return None
+        for pred in self.target_predicates:
+            if not pred(target, now):
+                return None
         candidates: List[Candidate] = []
         seen = set()
         for src in self.sources:
@@ -82,6 +99,32 @@ class PushPipeline:
                         candidates.append(c)
             except Exception:
                 continue  # source fail-open
+        # pre-ranking predicates (scalar then batch)
+        for pred in self.candidate_predicates:
+            candidates = [c for c in candidates if pred(target, c)]
+        for bpred in self.batch_candidate_predicates:
+            keep = bpred(target, candidates)
+            candidates = [c for c, k in zip(candidates, keep) if k]
+        # per-type fatigue over NTab history (the take-step gate applied
+        # pre-ranking so fatigued types don't crowd the light ranker)
+        if self.ntab is not None and self.fatigue_config is not None:
+            from the_algorithm_tpu.mixers import push_candidates as pc
+
+            allowed: dict = {}
+            kept = []
+            for c in candidates:
+                crt = c.features.get("crt")
+                if crt is None:
+                    kept.append(c)
+                    continue
+                if crt not in allowed:
+                    allowed[crt] = pc.crt_allowed(
+                        self.ntab, target.user_id, crt, now,
+                        self.fatigue_config,
+                    )
+                if allowed[crt]:
+                    kept.append(c)
+            candidates = kept
         if not candidates:
             return None
 
@@ -97,4 +140,12 @@ class PushPipeline:
         winner = kept[best]
         winner.score = float(combined[best])
         winner.features["push_light_score"] = float(light[order][best])
+        if self.ntab is not None:
+            from the_algorithm_tpu.mixers import push_candidates as pc
+
+            crt = winner.features.get("crt", pc.CRT.IN_NETWORK_TWEET)
+            self.ntab.record_sent(
+                target.user_id,
+                pc.SentNotification(tweet_id=winner.id, crt=crt, sent_at=now),
+            )
         return winner
