@@ -153,3 +153,203 @@ class TweetStore:
                 for tid, t in self._tweets.items()
                 if not t.deleted
             }
+
+
+# -- write-path enrichment (entity extraction, conversation resolution) ---------
+
+
+import re as _re
+
+_URL_RE = _re.compile(r"https?://\S+")
+_MENTION_RE = _re.compile(r"@(\w+)")
+_HASHTAG_RE = _re.compile(r"#(\w+)")
+
+
+@dataclasses.dataclass(frozen=True)
+class TweetEntities:
+    """≡ the write path's entity extraction (urls/mentions/hashtags become
+    typed entities on the stored tweet; cards derive from the first url)."""
+
+    urls: Sequence[str] = ()
+    mentions: Sequence[str] = ()
+    hashtags: Sequence[str] = ()
+
+    @property
+    def has_card(self) -> bool:
+        return bool(self.urls)
+
+
+def extract_entities(text: str) -> TweetEntities:
+    return TweetEntities(
+        urls=tuple(_URL_RE.findall(text)),
+        mentions=tuple(_MENTION_RE.findall(text)),
+        hashtags=tuple(_HASHTAG_RE.findall(text)),
+    )
+
+
+class ConversationResolver:
+    """Reply-chain → conversation id + depth + self-thread detection
+    (≡ the conversationId hydrator + selfThread logic on the write path;
+    feeds the earlybird doc features conversation_depth / is_self_thread)."""
+
+    def __init__(self, store: "TweetStore"):
+        self._store = store
+
+    def resolve(self, tweet: Tweet, max_depth: int = 64):
+        """(conversation_root_id, depth, is_self_thread)."""
+        root, depth = tweet.tweet_id, 0
+        cur = tweet
+        self_thread = True
+        while cur.reply_to is not None and depth < max_depth:
+            parent = self._store._tweets.get(cur.reply_to)
+            if parent is None:
+                break
+            self_thread &= parent.author_id == tweet.author_id
+            root, cur = parent.tweet_id, parent
+            depth += 1
+        return root, depth, self_thread and depth > 0
+
+
+# -- edit history (editControl analog) -------------------------------------------
+
+
+class EditChainStore:
+    """Tweet edit chains: initial id ↔ ordered versions; latest resolution
+    (≡ editControl: initialTweetId/editTweetIds on the stored tweet)."""
+
+    def __init__(self):
+        self._versions: Dict[int, List[int]] = {}  # initial -> [v0, v1, ...]
+        self._initial_of: Dict[int, int] = {}
+
+    def record_edit(self, initial_id: int, new_version_id: int) -> None:
+        chain = self._versions.setdefault(int(initial_id), [int(initial_id)])
+        chain.append(int(new_version_id))
+        self._initial_of[int(new_version_id)] = int(initial_id)
+        self._initial_of.setdefault(int(initial_id), int(initial_id))
+
+    def latest(self, tweet_id: int) -> int:
+        init = self._initial_of.get(int(tweet_id), int(tweet_id))
+        chain = self._versions.get(init)
+        return chain[-1] if chain else int(tweet_id)
+
+    def versions(self, tweet_id: int) -> List[int]:
+        init = self._initial_of.get(int(tweet_id), int(tweet_id))
+        return list(self._versions.get(init, [int(tweet_id)]))
+
+    def is_stale(self, tweet_id: int) -> bool:
+        return self.latest(tweet_id) != int(tweet_id)
+
+
+# -- takedowns (country-withheld content) ----------------------------------------
+
+
+class TakedownStore:
+    """Per-country content takedowns (≡ the takedown write path +
+    ``visibility`` country-withheld rules)."""
+
+    def __init__(self):
+        self._withheld: Dict[int, Set[str]] = {}
+
+    def withhold(self, tweet_id: int, countries: Sequence[str]) -> None:
+        self._withheld.setdefault(int(tweet_id), set()).update(
+            c.upper() for c in countries
+        )
+
+    def is_withheld(self, tweet_id: int, country: Optional[str]) -> bool:
+        if country is None:
+            return False
+        return country.upper() in self._withheld.get(int(tweet_id), ())
+
+    def countries(self, tweet_id: int) -> Set[str]:
+        return set(self._withheld.get(int(tweet_id), ()))
+
+
+# -- read-through cache (the memcache layer) --------------------------------------
+
+
+class CachingTweetStore:
+    """Read-through LRU in front of :class:`TweetStore` with write
+    invalidation and negative caching (≡ the memcached tweet cache the read
+    path consults before Manhattan; ``repository/CachingTweetRepository``).
+    """
+
+    def __init__(self, store: TweetStore, capacity: int = 4096):
+        from collections import OrderedDict
+
+        self._store = store
+        self._cap = capacity
+        self._cache: "OrderedDict[tuple, HydratedTweet]" = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def _key(self, tid: int, fields: HydrationField):
+        return (int(tid), int(fields.value))
+
+    def get_tweets(
+        self, tweet_ids: Sequence[int],
+        fields: HydrationField = HydrationField.CORE,
+    ) -> List[HydratedTweet]:
+        out: List[Optional[HydratedTweet]] = [None] * len(tweet_ids)
+        missing: List[int] = []
+        pos: List[int] = []
+        for i, tid in enumerate(tweet_ids):
+            k = self._key(tid, fields)
+            hit = self._cache.get(k)
+            if hit is not None:
+                self._cache.move_to_end(k)
+                out[i] = hit
+                self.hits += 1
+            else:
+                missing.append(tid)
+                pos.append(i)
+                self.misses += 1
+        if missing:
+            fetched = self._store.get_tweets(missing, fields)
+            for i, h in zip(pos, fetched):
+                out[i] = h
+                k = self._key(h.tweet_id, fields)
+                self._cache[k] = h  # negative results cached too (!found)
+                if len(self._cache) > self._cap:
+                    self._cache.popitem(last=False)
+        return out  # type: ignore[return-value]
+
+    def invalidate(self, tweet_id: int) -> None:
+        """Write-path invalidation (create/delete/count bump)."""
+        for k in [k for k in self._cache if k[0] == int(tweet_id)]:
+            del self._cache[k]
+
+
+# -- earlybird ingester bridge ----------------------------------------------------
+
+
+def to_raw_tweet(store: TweetStore, tweet: Tweet, *, now: int = 0,
+                 language: str = "en", user_rep: float = 0.0):
+    """Tweet → earlybird ``RawTweet`` with conversation metadata resolved —
+    the tweetypie→ingester event bridge (the reference's ingester consumes
+    tweetypie create events; ``src/java/com/twitter/search/ingester/``)."""
+    from the_algorithm_tpu.search.earlybird import RawTweet
+
+    ents = extract_entities(tweet.text)
+    root, depth, self_thread = ConversationResolver(store).resolve(tweet)
+    root_t = store._tweets.get(root)
+    return RawTweet(
+        tweet_id=tweet.tweet_id,
+        author_id=tweet.author_id,
+        created_ts=tweet.created_ts,
+        text=tweet.text,
+        language=language,
+        fav_count=tweet.fav_count,
+        reply_count=tweet.reply_count,
+        retweet_count=tweet.retweet_count,
+        quote_count=tweet.quote_count,
+        has_image=any(m.endswith((".jpg", ".png")) for m in tweet.media),
+        has_video=any(m.endswith((".mp4", ".m3u8")) for m in tweet.media),
+        has_card=ents.has_card,
+        is_reply=tweet.reply_to is not None,
+        is_quote=tweet.quoted_tweet_id is not None,
+        user_rep=user_rep,
+        num_likes_root=root_t.fav_count if root_t else 0,
+        num_replies_root=root_t.reply_count if root_t else 0,
+        conversation_depth=depth,
+        is_self_thread=self_thread,
+    )
