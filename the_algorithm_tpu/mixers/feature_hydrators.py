@@ -387,3 +387,34 @@ class ImpressionBloomFilterSideEffect(SideEffect):
     def seen(self, user_id: int, tweet_id: int) -> bool:
         bf = self.filters.get(user_id)
         return bf is not None and tweet_id in bf
+
+
+class ScribeClientEventSideEffect(SideEffect):
+    """Log client-visible serving events in the raw LogEvent shape the UUA
+    ClientEventAdapter consumes (≡ ``HomeScribeClientEventSideEffect.scala``
+    — the second half of the training-data closure: served impressions flow
+    back in as client events).
+
+    Emits one ``{user_id, item_type, action, item_id, ts_ms, author_id,
+    surface, position}`` JSON line per served candidate.
+    """
+
+    def __init__(self, sink: Callable[[str], None], surface: str = "home",
+                 action: str = "impression"):
+        self._sink = sink
+        self._surface = surface
+        self._action = action
+
+    def run(self, query, result, params) -> None:
+        now_ms = int(getattr(query, "now", 0) or time.time()) * 1000
+        for pos, c in enumerate(result):
+            self._sink(json.dumps({
+                "user_id": int(query.user_id),
+                "item_type": "tweet",
+                "action": self._action,
+                "item_id": int(c.id),
+                "ts_ms": now_ms,
+                "author_id": c.features.get("author_id"),
+                "surface": self._surface,
+                "position": pos,
+            }, separators=(",", ":")))
