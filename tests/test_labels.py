@@ -156,3 +156,26 @@ class TestTrainingExamples:
         assert served[0].user_id == 9 and served[0].tweet_id == 77
         assert served[0].served_at == 1234
         assert served[0].predicted["predicted_fav"] == 0.4
+
+
+class TestBehavioralClientEvents:
+    def test_behavioral_actions_reach_their_heads(self):
+        """Regression: bookmark/share/linger/open_link/screenshot raw
+        client events must map through the adapter and set their heads."""
+        from the_algorithm_tpu.actions.uua import client_event_adapter
+
+        served = [lb.ServedCandidate(1, 10, 100)]
+        raw = [
+            {"user_id": 1, "item_type": "tweet", "action": a, "item_id": 10,
+             "ts_ms": 150_000, **extra}
+            for a, extra in [
+                ("bookmark", {}), ("share", {}),
+                ("linger", {"dwell_s": 20}), ("open_link", {}),
+                ("screenshot", {}),
+            ]
+        ]
+        actions = [a for e in raw for a in client_event_adapter(e)]
+        assert len(actions) == 5
+        _, _, _, labels = lb.join_labels(served, actions)
+        for head in ("bookmark", "share", "dwell", "open_link", "screenshot"):
+            assert labels[0, lb.HEAD_NAMES.index(head)] == 1.0, head

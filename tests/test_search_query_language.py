@@ -235,3 +235,33 @@ class TestDocFeatureReader:
         assert set(block) == set(eb.DOC_FEATURES)
         assert block["fav_count"][0] == 40.0  # tweet 504 had fav_count=40
         assert all(block[n][1] == 0.0 for n in eb.DOC_FEATURES)  # unknown id
+
+
+class TestPhraseAtDocTail:
+    def test_short_phrase_matches_at_last_positions(self):
+        """Regression: a phrase shorter than the padded phrase_len must
+        match when it sits in the doc's final token positions."""
+        cfg = eb.EarlybirdConfig(capacity=4, max_tokens=6)
+        # 6 tokens, "hello world" at positions 4..5 (the tail)
+        t = eb.RawTweet(tweet_id=1, author_id=2, created_ts=10,
+                        text="a b c d hello world")
+        index = eb.ingest(eb.init_index(cfg),
+                          *eb.build_documents([t], cfg)[:5])
+        kw = eb.parse_query('"hello world"')
+        q = eb.SearchQuery(require_all=False, min_ts=jnp.int32(0),
+                           max_ts=jnp.int32(100), **kw)
+        ids, _ = eb.search(index, q, max_results=2)
+        assert int(np.asarray(ids)[0]) == 1
+
+
+class TestDemotionNegativeScores:
+    def test_demotion_lowers_negative_scores_too(self):
+        feats = np.zeros((2, len(eb.DOC_FEATURES)), np.float32)
+        feats[:, eb.DOC_FEATURE_INDEX["text_score"]] = -2.0
+        feats[1, eb.DOC_FEATURE_INDEX["is_reply"]] = 1.0
+        w = np.zeros(len(eb.DOC_FEATURES), np.float32)
+        w[eb.DOC_FEATURE_INDEX["text_score"]] = 1.0
+        rel = eb.RelevanceParams(weights=jnp.asarray(w),
+                                 reply_demotion=jnp.float32(0.5))
+        got = np.asarray(eb.linear_score(jnp.asarray(feats), rel))
+        assert got[1] < got[0]  # demoted reply ranks BELOW, not above

@@ -85,3 +85,26 @@ class TestPagination:
             (i for i, t in enumerate(seen) if t < 100), default=len(seen)
         )
         assert all(t >= 100 for t in seen[:first_arch])
+
+
+class TestTieSafePagination:
+    def test_equal_timestamps_not_skipped(self):
+        """Regression: 3 tweets at the same created_ts with page_size=2
+        must all be served across pages."""
+        tier = make_tier("rt", [(70, 500), (71, 500), (72, 500)], (0, 1000))
+        root = rt.SuperRoot([tier])
+        pages = list(root.paginate(query(), page_size=2, max_pages=5))
+        seen = [int(i) for ids, _ in pages for i in ids]
+        assert sorted(seen) == [70, 71, 72]
+        assert len(seen) == len(set(seen))
+
+
+class TestEarlyTermUniqueCounting:
+    def test_duplicate_slots_dont_stop_descent(self):
+        # tweet 100 ingested twice in realtime; archive holds more matches
+        dup = make_tier("realtime", [(100, 900), (100, 901)], (800, 1000))
+        root = rt.SuperRoot(
+            [dup, ARCHIVE], rt.SuperRootConfig(min_full_results=2))
+        ids, _, per = root.search(query(), max_results=4)
+        assert [r.tier for r in per] == ["realtime", "full_archive"]
+        assert len(ids) >= 2

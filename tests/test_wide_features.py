@@ -230,3 +230,22 @@ class TestWideForYouE2E:
                  Candidate(id=2, features={"b": 3.0})]
         mat = asm(_query(), cands)
         np.testing.assert_array_equal(mat, [[2.0, 0.0], [0.0, 3.0]])
+
+
+class TestReadPathNoAllocation:
+    def test_unseen_ids_hydrate_as_zeros_without_consuming_rows(self):
+        """Serving reads of never-written tweet/author keys must not
+        allocate aggregate-store rows (regression: capacity exhaustion
+        KeyError after enough fresh tweets)."""
+        q = _query()
+        agg_h = next(h for h in HYDRATORS
+                     if getattr(h, "_prefix", "") == "tweet_agg")
+        before = len(agg_h._resolver._map)
+        cands = [Candidate(id=10_000_000 + i, features={"author_id": 0})
+                 for i in range(300)]  # far beyond resolver capacity
+        agg_h.hydrate(q, cands, None)
+        assert len(agg_h._resolver._map) == before  # nothing allocated
+        store = fs.store_of(q)
+        col = store.gather("tweet_agg_fav_count_50d",
+                           np.asarray([c.id for c in cands]))
+        assert (col == 0.0).all()

@@ -137,6 +137,14 @@ _CLIENT_EVENT_MAP = {
     ("user", "unfollow"): ActionType.CLIENT_UNFOLLOW,
     ("user", "block"): ActionType.CLIENT_BLOCK,
     ("user", "mute"): ActionType.CLIENT_MUTE,
+    # behavioral client events (BehavioralClientEventAdapter) — these feed
+    # the bookmark/share/dwell/open_link/screenshot label heads
+    ("tweet", "bookmark"): ActionType.CLIENT_TWEET_BOOKMARK,
+    ("tweet", "share"): ActionType.CLIENT_TWEET_SHARE,
+    ("tweet", "linger"): ActionType.CLIENT_TWEET_LINGER,
+    ("tweet", "open_link"): ActionType.CLIENT_TWEET_OPEN_LINK,
+    ("tweet", "screenshot"): ActionType.CLIENT_TWEET_SCREENSHOT,
+    ("video", "quality_view"): ActionType.CLIENT_TWEET_VIDEO_QUALITY_VIEW,
 }
 
 

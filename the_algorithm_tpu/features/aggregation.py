@@ -187,6 +187,7 @@ class KeyResolver:
         self._map: Dict[Tuple, int] = {}
 
     def resolve(self, keys: Sequence[Tuple]) -> np.ndarray:
+        """Write-path resolution: unknown keys allocate a new row."""
         out = np.empty(len(keys), np.int32)
         for i, k in enumerate(keys):
             if k not in self._map:
@@ -194,4 +195,13 @@ class KeyResolver:
                     raise KeyError("aggregate store capacity exhausted")
                 self._map[k] = len(self._map)
             out[i] = self._map[k]
+        return out
+
+    def lookup(self, keys: Sequence[Tuple]) -> np.ndarray:
+        """Read-path resolution: unknown keys → -1, NO allocation (serving
+        reads must not consume store rows — fresh tweets/authors simply have
+        no aggregates yet)."""
+        out = np.empty(len(keys), np.int32)
+        for i, k in enumerate(keys):
+            out[i] = self._map.get(k, -1)
         return out

@@ -85,11 +85,13 @@ class RealGraphColumnarHydrator(fs.ColumnarFeatureHydrator):
 
     def hydrate_columns(self, query, ids, candidates, params):
         uid = int(query.user_id) % int(self._table.neighbor_ids.shape[0])
-        now = jnp.int32(getattr(query, "now", 0))
+        now = int(getattr(query, "now", 0))
         nbrs = np.asarray(self._table.neighbor_ids[uid])  # [D]
-        decayed = np.asarray(
-            realgraph.edge_features(self._table, now)[uid]
-        )  # [D, F]
+        # per-user decay only — the whole-table edge_features(table, now)
+        # would multiply [U, D, F] per request just to slice one row
+        dt = max(now - int(self._table.last_ts[uid]), 0)
+        decay = float(np.exp2(-dt / realgraph.DEFAULT_HALF_LIFE_S))
+        decayed = np.asarray(self._table.counts[uid]) * decay  # [D, F]
         authors = _author_ids(candidates)
         match = (authors[:, None] == nbrs[None, :]).astype(np.float32)  # [B, D]
         feats = match @ decayed  # [B, F]
@@ -242,15 +244,18 @@ class DecayedAggregatesColumnarHydrator(fs.ColumnarFeatureHydrator):
             keys = [(int(a),) for a in _author_ids(candidates)]
         else:
             keys = [(int(query.user_id),)]
-        rows = self._resolver.resolve(keys)
+        # read path: never allocate — unknown keys read as zero rows
+        rows = self._resolver.lookup(keys)
+        known = rows >= 0
         block = np.asarray(
             aggregation.read(
                 self._group,
                 self._store,
-                jnp.asarray(rows),
+                jnp.asarray(np.where(known, rows, 0)),
                 jnp.int32(getattr(query, "now", 0)),
             )
         )  # [len(keys), L*2*H]
+        block = np.where(known[:, None], block, 0.0)
         if self._key == "viewer":
             block = np.broadcast_to(block[0], (ids.shape[0], block.shape[1]))
         H = len(_AGG_HL)
@@ -281,16 +286,20 @@ class UssSignalCountColumnarHydrator(fs.ColumnarFeatureHydrator):
     def hydrate_columns(self, query, ids, candidates, params):
         B = ids.shape[0]
         now = int(getattr(query, "now", 0))
-        min_ts = jnp.int32(now - self._window_s)
-        uid = jnp.int32(int(query.user_id) % int(self._store.target_ids.shape[0]))
-        cols: Dict[str, np.ndarray] = {}
-        for st in user_signals.SignalType:
-            _, _, valid = user_signals.fetch(
-                self._store, uid, st, min_timestamp=min_ts
+        uid = int(query.user_id) % int(self._store.target_ids.shape[0])
+        # one device fetch + one reduction for ALL 17 signal types
+        # (per-type fetch loops would pay 17 serial round-trips per request)
+        t_ids = self._store.target_ids[uid]  # [S, W]
+        t_ts = self._store.timestamps[uid]
+        counts = np.asarray(jnp.sum(
+            (t_ids != PAD_ID) & (t_ts >= now - self._window_s), axis=-1
+        ))  # [S]
+        return {
+            f"uss_{st.name.lower()}_count_90d": np.full(
+                B, float(counts[int(st)]), np.float32
             )
-            count = float(np.asarray(valid).sum())
-            cols[f"uss_{st.name.lower()}_count_90d"] = np.full(B, count, np.float32)
-        return cols
+            for st in user_signals.SignalType
+        }
 
 
 class GfsColumnarHydrator(fs.ColumnarFeatureHydrator):

@@ -187,8 +187,14 @@ def linear_score(
         )
     is_reply = features[..., DOC_FEATURE_INDEX["is_reply"]] > 0
     is_rt = features[..., DOC_FEATURE_INDEX["is_retweet"]] > 0
-    score = score * jnp.where(is_reply, relevance.reply_demotion, 1.0)
-    score = score * jnp.where(is_rt, relevance.retweet_demotion, 1.0)
+    # demotion d<1 must always rank DOWN: subtract |score|·(1-d), which
+    # equals score·d for positive scores and still decreases negative ones
+    # (a bare multiply would *raise* a negative score)
+    def demote(s, flag, d):
+        return s - jnp.where(flag, jnp.abs(s) * (1.0 - d), 0.0)
+
+    score = demote(score, is_reply, relevance.reply_demotion)
+    score = demote(score, is_rt, relevance.retweet_demotion)
     lang = features[..., DOC_FEATURE_INDEX["language_match"]] > 0
     return score + jnp.where(lang, relevance.language_boost, 0.0)
 
@@ -223,9 +229,16 @@ def phrase_match(tokens: jnp.ndarray, phrases: jnp.ndarray) -> jnp.ndarray:
     Pn, Pl = phrases.shape
     Pl = min(Pl, L)
     phrases = phrases[:, :Pl]
+    # pad the doc so every start position 0..L-1 has a full window — a
+    # phrase SHORTER than the padded Pl must still match at the doc's tail
+    # (padded window slots compare against PAD phrase slots, which the
+    # validity mask ignores; real phrase tokens never equal PAD)
+    padded = jnp.concatenate(
+        [tokens, jnp.full((T, Pl - 1), PAD_ID, tokens.dtype)], axis=1
+    )
     windows = jnp.stack(
-        [tokens[:, j:L - Pl + 1 + j] for j in range(Pl)], axis=-1
-    )  # [T, L-Pl+1, Pl]
+        [padded[:, j:L + j] for j in range(Pl)], axis=-1
+    )  # [T, L, Pl]
     valid = phrases != PAD_ID  # [Pn, Pl]
     nonempty = jnp.any(valid, axis=1)  # [Pn]
     # [T, W, Pn, Pl]: window position j matches phrase token j (or slot unused)
@@ -293,17 +306,22 @@ def search(
     max_results: int,
     relevance: Optional[RelevanceParams] = None,
     model_score_fn=None,
+    extra_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full-corpus scan → (tweet_ids[X], scores[X]).
 
     ``relevance`` carries the request-scoped ranking params (weights,
     boosts, demotions); ``model_score_fn(features [T, F]) -> [T]``
     overrides the linear scorer (≡ ``ModelBasedScoringFunction`` /
-    ``TensorflowBasedScoringFunction`` plugging the light ranker in-index).
+    ``TensorflowBasedScoringFunction`` plugging the light ranker in-index);
+    ``extra_mask`` [T] ANDs caller-side doc filters into the match (e.g.
+    the ingester's author-state mask — the collector-level filter hook).
     """
     if relevance is None:
         relevance = default_relevance_params()
     ok, overlap = match_mask(index, query)
+    if extra_mask is not None:
+        ok = ok & extra_mask
 
     if model_score_fn is not None:
         score = model_score_fn(index.features)

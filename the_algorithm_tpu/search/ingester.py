@@ -97,7 +97,9 @@ class EarlybirdIngester:
                 )
         if not raws:
             return 0
-        docs = eb.build_documents(raws, self.config, now=now)
+        docs = eb.build_documents(
+            raws, self.config, ui_language=self.ui_language, now=now
+        )
         self.index = eb.ingest(self.index, *docs[:5])
         self.log_offset += len(raws)
         return len(raws)
@@ -169,22 +171,9 @@ class EarlybirdIngester:
     # -- search with ingester-side filters ------------------------------------
 
     def search(self, query: eb.SearchQuery, *, max_results: int, **kw):
-        """Query the live index with the author-state mask applied."""
-        ok, overlap = eb.match_mask(self.index, query)
-        ok = ok & self.visible_author_mask()
-        relevance = kw.pop("relevance", None) or eb.default_relevance_params()
-        model_score_fn = kw.pop("model_score_fn", None)
-        if model_score_fn is not None:
-            score = model_score_fn(self.index.features)
-        else:
-            score = eb.linear_score(
-                self.index.features, relevance,
-                created_ts=self.index.created_ts, now=query.max_ts,
-            )
-        score = jnp.where(ok, score + overlap, -jnp.inf)
-        import jax
-
-        k = min(max_results, score.shape[0])
-        top, idx = jax.lax.top_k(score, k)
-        ids = jnp.where(jnp.isfinite(top), self.index.tweet_ids[idx], PAD_ID)
-        return ids, top
+        """Query the live index with the author-state mask applied
+        (one ``eb.search`` call — the mask rides ``extra_mask``)."""
+        return eb.search(
+            self.index, query, max_results=max_results,
+            extra_mask=self.visible_author_mask(), **kw,
+        )

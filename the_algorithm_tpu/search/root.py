@@ -81,7 +81,9 @@ class SuperRoot:
         highest-scored copy of a tweet across tiers."""
         need = self.config.min_full_results or max_results
         per_tier: List[TierResult] = []
-        found = 0
+        found: set = set()  # UNIQUE ids — duplicate slots must not
+        # inflate the early-termination count (a re-consumed ingest batch
+        # would otherwise stop descent while the merge under-fills)
         for tier in self.route(query):
             if tier.mesh is not None:
                 ids, scores = eb.search_sharded(
@@ -96,8 +98,8 @@ class SuperRoot:
             ids, scores = np.asarray(ids), np.asarray(scores)
             valid = ids != int(PAD_ID)
             per_tier.append(TierResult(tier.name, ids[valid], scores[valid]))
-            found += int(valid.sum())
-            if found >= need:  # early termination: skip older tiers
+            found.update(int(i) for i in ids[valid])
+            if len(found) >= need:  # early termination: skip older tiers
                 break
 
         all_ids = (np.concatenate([r.ids for r in per_tier])
@@ -123,20 +125,29 @@ class SuperRoot:
         **kw,
     ):
         """Cursor pagination: each page re-issues the query with ``max_ts``
-        moved below the oldest result served so far (the root's use of
-        tweet-time cursors)."""
+        at the oldest served timestamp, dropping already-served ids — so
+        ties at second granularity are exhausted before the cursor advances
+        past them (a bare ``oldest-1`` cursor would silently skip unserved
+        tweets sharing the boundary timestamp)."""
         cursor = int(query.max_ts)
+        served: set = set()
         for _ in range(max_pages):
             q = query._replace(max_ts=jnp.int32(cursor))
-            ids, scores, _ = self.search(q, max_results=page_size, **kw)
+            # over-fetch by the served count at this timestamp so ties
+            # surface past the dedup
+            ids, scores, _ = self.search(
+                q, max_results=page_size + len(served), **kw
+            )
+            fresh = [j for j, i in enumerate(ids) if int(i) not in served]
+            ids, scores = ids[fresh][:page_size], scores[fresh][:page_size]
             if ids.size == 0:
                 return
+            served.update(int(i) for i in ids)
             yield ids, scores
-            # move the cursor below the oldest served tweet's timestamp
             oldest = self._oldest_ts(ids)
-            if oldest is None or oldest <= int(query.min_ts):
+            if oldest is None or oldest < int(query.min_ts):
                 return
-            cursor = oldest - 1
+            cursor = oldest
 
     def _oldest_ts(self, ids: np.ndarray) -> Optional[int]:
         best: Optional[int] = None
