@@ -140,3 +140,42 @@ def test_decider_gate_disables_rule():
     eng = VisibilityRuleEngine({L.TIMELINE_HOME: [gated]})
     res = eng.evaluate(L.TIMELINE_HOME, {"tweet_labels": {"abusive"}})
     assert res.action == Action.ALLOW
+
+
+class TestStoreBackedRules:
+    def test_country_withheld_and_author_state(self):
+        from the_algorithm_tpu.pipeline import visibility_rules as vr
+        from the_algorithm_tpu.pipeline.visibility import Action, SafetyLevel
+        from the_algorithm_tpu.search.ingester import AuthorState
+        from the_algorithm_tpu.storage.tweetypie import TakedownStore
+
+        td = TakedownStore()
+        td.withhold(7, ["DE"])
+        states = {9: AuthorState.SUSPENDED}
+        engine = vr.catalog_engine_with_stores(
+            takedowns=td, author_state_fn=states.get
+        )
+        # withheld in the viewer's country → DROP
+        res = engine.evaluate(SafetyLevel.TIMELINE_HOME, {
+            "tweet_id": 7, "viewer_country": "DE", "author_id": 1,
+        })
+        assert res.action == Action.DROP
+        assert res.reason == "withheld_in_country"
+        # same tweet elsewhere → ALLOW
+        assert engine.evaluate(SafetyLevel.TIMELINE_HOME, {
+            "tweet_id": 7, "viewer_country": "US", "author_id": 1,
+        }).action == Action.ALLOW
+        # suspended author → DROP at every level
+        for lvl in SafetyLevel:
+            assert engine.evaluate(lvl, {
+                "tweet_id": 1, "author_id": 9,
+            }).action == Action.DROP
+
+    def test_unknown_author_allowed(self):
+        from the_algorithm_tpu.pipeline import visibility_rules as vr
+        from the_algorithm_tpu.pipeline.visibility import Action, SafetyLevel
+
+        engine = vr.catalog_engine_with_stores(author_state_fn=lambda a: None)
+        assert engine.evaluate(SafetyLevel.SEARCH, {
+            "tweet_id": 1, "author_id": 5,
+        }).action == Action.ALLOW

@@ -277,3 +277,48 @@ def all_rule_names() -> List[str]:
             if r.name not in seen:
                 seen.append(r.name)
     return seen
+
+
+# -- store-backed rules (country takedowns + author safety states) -------------
+#
+# ≡ the reference's interaction between visibilitylib and the takedown /
+# user-state stores (``CountryWithheldTweet``/``WithheldAuthor`` rule family
+# and the suspended/deactivated-author rules). Conditions close over the
+# live stores and read ``tweet_id``/``author_id``/``viewer_country`` from
+# the feature map (VisibilityFilter feeds ``candidate.features``; put the
+# ids there via a hydrator or the candidate-lift hydrator).
+
+
+def store_backed_rules(takedowns=None, author_state_fn=None) -> List[Rule]:
+    """Rules wired to the tweetypie TakedownStore and the ingester's
+    author-state table; pass whichever stores are deployed."""
+    rules: List[Rule] = []
+    if takedowns is not None:
+        rules.append(Rule(
+            "DropCountryWithheldTweet",
+            lambda f: takedowns.is_withheld(
+                int(f.get("tweet_id", -1)), f.get("viewer_country")
+            ),
+            Action.DROP, "withheld_in_country", fail_closed=True,
+        ))
+    if author_state_fn is not None:
+        def _bad_author(f):
+            st = author_state_fn(int(f.get("author_id", -1)))
+            return st is not None and int(st) != 0  # != AuthorState.NORMAL
+
+        rules.append(Rule(
+            "DropUnavailableAuthorContent", _bad_author, Action.DROP,
+            "author_unavailable", fail_closed=True,
+        ))
+    return rules
+
+
+def catalog_engine_with_stores(takedowns=None, author_state_fn=None,
+                               stats=None):
+    """Catalog engine with the store-backed rules prepended at every level
+    (they are relationship-grade drops — severity before label rules)."""
+    from the_algorithm_tpu.pipeline.visibility import VisibilityRuleEngine
+
+    extra = store_backed_rules(takedowns, author_state_fn)
+    rules = {lvl: extra + list(rs) for lvl, rs in CATALOG_RULES.items()}
+    return VisibilityRuleEngine(rules, stats=stats)
