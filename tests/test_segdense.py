@@ -85,3 +85,43 @@ class TestColumnarParity:
         want = store.assemble(ids, schema)
         got, _ = d.densify(records)
         np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+class TestSparseHTTPServing:
+    def test_records_payload_densified_and_scored(self, tmp_path):
+        """POST sparse {records: [{name: val}]} through the HTTP front with
+        a per-model segdense densifier (the navi BPR path)."""
+        import json
+        import urllib.request
+
+        from the_algorithm_tpu.serving.batcher import BatcherConfig
+        from the_algorithm_tpu.serving.model_registry import (
+            ModelRegistry, save_params_npz,
+        )
+        from the_algorithm_tpu.serving.server import InferenceServer
+
+        d = tmp_path / "models" / "lr" / "1"
+        d.mkdir(parents=True)
+        save_params_npz(str(d), {"w": np.asarray([1.0, 2.0], np.float32)})
+        reg = ModelRegistry(str(tmp_path / "models"))
+        reg.scan_once()
+        spec = sd.SegdenseSpec(("feat_a", "feat_b"))
+        server = InferenceServer(
+            reg,
+            predict_builder=lambda params: (lambda x: x @ params["w"]),
+            batcher_config=BatcherConfig(max_batch_size=8, max_delay_ms=2.0),
+            densifiers={"lr": sd.RequestDensifier(spec)},
+        )
+        server.start()
+        try:
+            body = json.dumps({"records": [
+                {"feat_a": 3.0}, {"feat_b": 4.0, "feat_a": 1.0},
+            ]}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{server.port}/v1/models/lr:predict",
+                data=body, headers={"Content-Type": "application/json"},
+            )
+            out = json.loads(urllib.request.urlopen(req, timeout=10).read())
+            np.testing.assert_allclose(out["predictions"], [3.0, 9.0])
+        finally:
+            server.close()

@@ -33,9 +33,17 @@ class InferenceServer:
         port: int = 0,
         batcher_config: BatcherConfig = BatcherConfig(),
         stats: Optional[StatsReceiver] = None,
+        densifiers: Optional[Dict[str, object]] = None,
     ):
-        """``predict_builder(model_handle) -> batched predict fn``."""
+        """``predict_builder(model_handle) -> batched predict fn``.
+
+        ``densifiers``: optional per-model
+        :class:`~the_algorithm_tpu.serving.segdense.RequestDensifier` —
+        requests may then POST sparse ``{"records": [{name: value}, ...]}``
+        (the thrift-BPR shape) instead of dense ``instances``; the segdense
+        spec densifies them in native code before batching."""
         self.registry = registry
+        self.densifiers = densifiers or {}
         self.stats = stats or StatsReceiver()
         self._batchers: Dict[str, DynamicBatcher] = {}
         self._batcher_versions: Dict[str, int] = {}
@@ -85,9 +93,14 @@ class InferenceServer:
                     model = self.path[len("/v1/models/") : -len(":predict")]
                     length = int(self.headers.get("Content-Length", 0))
                     payload = json.loads(self.rfile.read(length) or b"{}")
-                    instances = np.asarray(
-                        payload.get("instances", []), np.float32
-                    )
+                    if "records" in payload and model in server.densifiers:
+                        instances, _ = server.densifiers[model].densify(
+                            payload["records"]
+                        )
+                    else:
+                        instances = np.asarray(
+                            payload.get("instances", []), np.float32
+                        )
                     if instances.size == 0:
                         self._send(400, b'{"error":"empty instances"}')
                         return
