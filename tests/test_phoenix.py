@@ -210,3 +210,42 @@ class TestUserActionsHydrator:
         out2 = h2.hydrate(Q(), None)
         assert out2["user_actions"] is None
         assert out2["user_actions_size"] == 0
+
+
+class TestPhoenixInForYou:
+    def test_phoenix_rescore_in_pipeline(self):
+        """build_for_you_pipeline runs Phoenix after MaskNet when the query
+        carries an action sequence; phoenix_* features appear and the
+        combined score comes from the Phoenix head weights."""
+        import numpy as np
+
+        from the_algorithm_tpu.mixers import home_mixer
+        from the_algorithm_tpu.models.phoenix import NUM_ACTIONS
+        from the_algorithm_tpu.pipeline.component import (
+            Candidate, CandidatePipeline, CandidateSource, QueryFeatureHydrator,
+        )
+
+        class Src(CandidateSource):
+            def get(self, query, params):
+                return [Candidate(id=i, features={"author_id": i,
+                                                  "retrieval_score": 1.0})
+                        for i in range(1, 4)]
+
+        class ActionsHydrator(QueryFeatureHydrator):
+            def hydrate(self, query, params):
+                return {"user_actions": object()}  # sentinel: sequence present
+
+        probs = np.full((3, NUM_ACTIONS), 0.5, np.float32)
+        scorer = ps.PhoenixScorer(lambda a, b, v, ua: probs)
+        pipeline = home_mixer.build_for_you_pipeline(
+            candidate_pipelines=[CandidatePipeline(Src())],
+            hydrators=[],
+            predict_fn=lambda x: np.full((x.shape[0], 15), 0.9, np.float32),
+            query_hydrators=[ActionsHydrator()],
+            phoenix_scorer=scorer,
+        )
+        out = pipeline.run(home_mixer.ForYouQuery(user_id=1, max_results=5))
+        assert not out.failures
+        c = out.candidates[0]
+        assert "predicted_fav" in c.features       # MaskNet ran first
+        assert any(k.startswith("phoenix_") for k in c.features)  # then Phoenix

@@ -219,17 +219,31 @@ def build_for_you_pipeline(
     feature_schema: Sequence[str] = DEFAULT_FEATURE_SCHEMA,
     max_tweet_age_s: int = 48 * 3600,
     quality_factor: Optional[QualityFactorConfig] = None,
+    query_hydrators: Sequence = (),
+    phoenix_scorer=None,
     stats=None,
 ) -> RecommendationPipeline:
     """Assemble the ScoredTweets pipeline (engine order per
-    ``RecommendationPipelineConfig.scala:57-201``)."""
+    ``RecommendationPipelineConfig.scala:57-201``).
+
+    ``phoenix_scorer``: optional
+    :class:`~the_algorithm_tpu.mixers.phoenix_scorer.PhoenixScorer` run
+    AFTER MaskNet (the reference's scorer order: Navi heads first, Phoenix
+    re-scores with per-head prod fallback when the query carries a user
+    action sequence — hydrate it via ``query_hydrators`` with
+    ``UserActionsQueryHydrator``).
+    """
     scorer = MaskNetScorer(
         predict_fn,
         FeatureMatrixAssembler(feature_schema),
         head_names,
         head_weights,
     )
+    scorers = [scorer]
+    if phoenix_scorer is not None:
+        scorers.append(phoenix_scorer)
     return RecommendationPipeline(
+        query_hydrators=list(query_hydrators),
         candidate_pipelines=list(candidate_pipelines),
         post_candidate_selectors=[DedupSelector()],
         post_candidate_hydrators=list(hydrators),
@@ -237,7 +251,7 @@ def build_for_you_pipeline(
             SeenTweetsFilter(),
             MaxAgeFilter(max_tweet_age_s),
         ],
-        scorers=[scorer],
+        scorers=scorers,
         scorer_fail_open=True,  # backup reverse-chron if scoring fails
         result_selectors=[
             AuthorDiversityRescorer(),
