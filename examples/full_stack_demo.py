@@ -146,6 +146,41 @@ def main():
     print(f"For You: {len(out.candidates)} candidates; "
           f"top: {[(c.id, round(c.score, 4), c.source) for c in out.candidates[:5]]}")
     assert out.candidates, "pipeline returned nothing"
+
+    # -- wide path: the 1056-feature columnar hydration + scoring ------------
+    from the_algorithm_tpu.mixers import feature_schema as fs
+    from the_algorithm_tpu.mixers import wide_hydrators as wh
+
+    world = wh.synthetic_world(seed=0, num_users=64, num_authors=64,
+                               num_tweets=2048)
+    wide = home_mixer.build_for_you_pipeline(
+        candidate_pipelines=[
+            CandidatePipeline(tweet_mixer.TweetMixerSource(
+                tweet_mixer.TweetMixer(engines)
+            )),
+        ],
+        hydrators=wh.build_wide_hydrators(**world),
+        predict_fn=lambda x: np.asarray(predict_wide(jnp.asarray(x))),
+        feature_schema=fs.WIDE_SCHEMA,
+    )
+    wcfg = masknet.MaskNetConfig(
+        num_features=fs.total_width(fs.WIDE_SCHEMA),
+        num_heads=len(masknet.DEFAULT_HEAD_NAMES),
+        mask_blocks=2, block_dim=64, aggregation_dim=16, head_hidden=(32,),
+        dtype="float32",
+    )
+    wmodel = masknet.MaskNet(wcfg)
+    wparams = wmodel.init(jax.random.PRNGKey(2),
+                          jnp.zeros((1, wcfg.num_features)))
+    predict_wide = jax.jit(
+        lambda x: jax.nn.sigmoid(wmodel.apply(wparams, x)))
+    wout = wide.run(home_mixer.ForYouQuery(
+        user_id=user, followed_authors=[1, 2], max_results=10,
+        now=10_000_000,
+    ))
+    print(f"Wide For You: {len(wout.candidates)} candidates scored over "
+          f"{fs.total_width(fs.WIDE_SCHEMA)} columnar features")
+    assert wout.candidates and not wout.failures
     print("FULL STACK OK")
 
 
