@@ -133,3 +133,32 @@ class TestTimelineRanker:
         assert in_ids == {11, 12}  # only followed authors
         oon = {int(i) for i in out.oon_ids if int(i) != int(PAD_ID)}
         assert oon == {99}
+
+
+class TestTimelineRankerMultitier:
+    def test_recap_spans_tiers(self):
+        import numpy as np
+
+        from the_algorithm_tpu.graph import uteg as uteg_mod
+        from the_algorithm_tpu.mixers import timeline_ranker as tlr
+        from the_algorithm_tpu.search import earlybird as eb
+        from the_algorithm_tpu.search import root as rt
+
+        def tier(name, ids_ts, span, author):
+            cfg = eb.EarlybirdConfig(capacity=8, max_tokens=4)
+            tweets = [eb.RawTweet(tweet_id=i, author_id=author, created_ts=t,
+                                  text="x") for i, t in ids_ts]
+            idx = eb.ingest(eb.init_index(cfg),
+                            *eb.build_documents(tweets, cfg)[:5])
+            return rt.Tier(name, idx, span[0], span[1])
+
+        root = rt.SuperRoot([
+            tier("realtime", [(10, 900), (11, 950)], (800, 1000), author=5),
+            tier("archive", [(5, 100)], (0, 799), author=5),
+        ], rt.SuperRootConfig(min_full_results=100))
+        graph = uteg_mod.init_graph(8, width=8)
+        out = tlr.get_ranked_timeline_multitier(
+            root, graph, followed_authors=[5], seed_weights=[1.0],
+            min_ts=0, max_ts=1000,
+        )
+        assert set(out.in_network_ids.tolist()) == {10, 11, 5}

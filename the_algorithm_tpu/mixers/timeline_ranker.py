@@ -69,3 +69,43 @@ def get_ranked_timeline(
         np.asarray(in_ids), np.asarray(in_scores),
         np.asarray(oon_ids), np.asarray(oon_scores),
     )
+
+
+def get_ranked_timeline_multitier(
+    root,  # search.root.SuperRoot
+    graph: uteg_mod.EngagementGraph,
+    *,
+    followed_authors: Sequence[int],
+    seed_weights: Sequence[float],
+    min_ts: int,
+    max_ts: int,
+    relevance: "eb.RelevanceParams" = None,
+    config: TimelineRankerConfig = TimelineRankerConfig(),
+) -> TimelineCandidates:
+    """Multi-tier variant: the recap stream fans out through the SuperRoot
+    (realtime + archive tiers, request-scoped relevance) — the reference's
+    timelineranker → earlybird-root call path; recycled stays UTEG."""
+    follows_sorted = jnp.asarray(sorted(followed_authors), jnp.int32)
+    in_ids, in_scores, _ = root.search(
+        eb.SearchQuery(
+            tokens=jnp.full((1,), PAD_ID, jnp.int32),
+            require_all=False,
+            min_ts=jnp.int32(min_ts),
+            max_ts=jnp.int32(max_ts),
+            followed_authors=follows_sorted,
+        ),
+        max_results=config.max_in_network,
+        relevance=relevance,
+    )
+    oon_ids, oon_scores, _ = uteg_mod.recommend(
+        graph,
+        jnp.asarray(list(followed_authors), jnp.int32),
+        jnp.asarray(list(seed_weights), jnp.float32),
+        max_results=config.max_out_of_network,
+        min_social_proof=config.min_social_proof,
+        min_timestamp=jnp.int32(min_ts),
+    )
+    return TimelineCandidates(
+        np.asarray(in_ids), np.asarray(in_scores),
+        np.asarray(oon_ids), np.asarray(oon_scores),
+    )
