@@ -162,3 +162,55 @@ class TestTimelineRankerMultitier:
             min_ts=0, max_ts=1000,
         )
         assert set(out.in_network_ids.tolist()) == {10, 11, 5}
+
+
+class TestTspsBatch:
+    def test_batch_matches_single_and_gates(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from the_algorithm_tpu.mixers import topic_social_proof as tsp
+        from the_algorithm_tpu.ops.sparse import PAD_ID, SparseEmbedding
+
+        K = 4
+        def emb(ids, scores):
+            i = np.full(K, int(PAD_ID), np.int32)
+            s = np.zeros(K, np.float32)
+            i[:len(ids)] = ids
+            s[:len(scores)] = scores
+            return i, s
+
+        topics_i, topics_s = zip(emb([0, 1], [1.0, 0.5]), emb([2], [1.0]),
+                                 emb([0], [1.0]))
+        topics = SparseEmbedding(jnp.asarray(np.stack(topics_i)),
+                                 jnp.asarray(np.stack(topics_s)))
+        ti, ts = emb([0, 1], [1.0, 0.5])
+        tweets = SparseEmbedding(jnp.asarray(np.stack([ti, ti])),
+                                 jnp.asarray(np.stack([ts, ts])))
+
+        ids_b, sc_b, fol_b = tsp.topic_social_proof_batch(
+            tweets, topics,
+            followed_topics=jnp.asarray([0], jnp.int32),
+        )
+        single = tsp.topic_social_proof(
+            SparseEmbedding(jnp.asarray(ti), jnp.asarray(ts)), topics,
+            followed_topics=jnp.asarray([0], jnp.int32),
+        )
+        np.testing.assert_array_equal(np.asarray(ids_b)[0],
+                                      np.asarray(single[0]))
+        assert bool(np.asarray(fol_b)[0][0])  # topic 0 followed
+
+        # quality gate drops topic 0 (the best match)
+        ids_q, _, _ = tsp.topic_social_proof_batch(
+            tweets, topics,
+            quality_scores=jnp.asarray([0.1, 0.9, 0.9]), min_quality=0.5,
+        )
+        assert 0 not in np.asarray(ids_q)[0].tolist()
+
+        # language allow-list keeps only topic 2
+        ids_l, _, _ = tsp.topic_social_proof_batch(
+            tweets, topics,
+            topic_allowed=jnp.asarray([False, True, False]),
+        )
+        got = [t for t in np.asarray(ids_l)[0].tolist() if t != int(PAD_ID)]
+        assert got in ([], [1])  # only topic idx 1 allowed (if relevant)

@@ -68,3 +68,54 @@ def topic_social_proof(
     else:
         followed = jnp.zeros(out_ids.shape, bool)
     return out_ids, out_scores, followed
+
+
+def topic_social_proof_batch(
+    tweet_embeddings: SparseEmbedding,  # [B, K] batched tweets
+    topic_embeddings: SparseEmbedding,  # [T, K]
+    *,
+    followed_topics: Optional[jnp.ndarray] = None,
+    not_interested_topics: Optional[jnp.ndarray] = None,
+    topic_allowed: Optional[jnp.ndarray] = None,  # [T] bool (language/locale)
+    quality_scores: Optional[jnp.ndarray] = None,  # [T] per-topic skit quality
+    min_quality: float = 0.0,
+    config: TopicSocialProofConfig = TopicSocialProofConfig(),
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The service endpoint shape: a tweet batch against the topic table in
+    one [B, T] cosine sweep (≡ the TSPS strato batch column; per-language
+    allow-lists and skit-quality gating mirror the localized-topic and
+    high-precision filters).
+
+    → (topic_ids [B, M], relevance [B, M], followed_mask [B, M]).
+    """
+    scores = jax.vmap(
+        lambda tw: jax.vmap(lambda t: sparse.cosine(tw, t))(topic_embeddings)
+    )(tweet_embeddings)  # [B, T]
+    B, n_topics = scores.shape
+    topic_ids = jnp.arange(n_topics, dtype=jnp.int32)
+
+    ok = scores >= config.min_relevance  # [B, T]
+    if topic_allowed is not None:
+        ok &= topic_allowed[None, :]
+    if quality_scores is not None:
+        ok &= (quality_scores >= min_quality)[None, :]
+    if not_interested_topics is not None:
+        banned = jnp.any(
+            topic_ids[:, None] == not_interested_topics[None, :], axis=1
+        )
+        ok &= ~banned[None, :]
+
+    masked = jnp.where(ok, scores, -jnp.inf)
+    k = min(config.max_topics_per_tweet, n_topics)
+    top_scores, idx = jax.lax.top_k(masked, k)  # [B, M]
+    out_ids = jnp.where(
+        jnp.isfinite(top_scores), topic_ids[idx], PAD_ID
+    )
+    out_scores = jnp.where(jnp.isfinite(top_scores), top_scores, 0.0)
+    if followed_topics is not None:
+        followed = jnp.any(
+            out_ids[:, :, None] == followed_topics[None, None, :], axis=2
+        ) & (out_ids != PAD_ID)
+    else:
+        followed = jnp.zeros(out_ids.shape, bool)
+    return out_ids, out_scores, followed
