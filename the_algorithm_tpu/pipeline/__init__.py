@@ -13,6 +13,15 @@ from the_algorithm_tpu.pipeline.component import (  # noqa: F401
     Selector,
     SideEffect,
 )
+from the_algorithm_tpu.pipeline.mixer import (  # noqa: F401
+    EntryKind,
+    Instruction,
+    MixerCandidatePipeline,
+    MixerPipeline,
+    Module,
+    Timeline,
+    TimelineEntry,
+)
 from the_algorithm_tpu.pipeline.recommendation import (  # noqa: F401
     FailOpenPolicy,
     PipelineResult,
