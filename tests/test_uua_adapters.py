@@ -218,3 +218,47 @@ def test_extract_tweet_id_from_path():
     assert f("/i/status/123?cn=x") == 123
     assert f("/i/home") is None
     assert f(None) is None
+
+
+# -- topic-id + search-info extraction (≡ TopicsIdUtilsSpec / SearchInfoUtilsSpec)
+
+TOPIC_CASES = [
+    ({"topic_id": 7}, [7]),
+    ({"suggestion_topic_id": 8, "controller_topic_id": 9}, [8, 9]),
+    ({"topic_ids": [3, 1, 3]}, [1, 3]),
+    ({"topic_id": 5, "topic_ids": [5, 6]}, [5, 6]),
+    ({}, []),
+]
+
+
+def test_topic_ids_from_event():
+    for event, want in TOPIC_CASES:
+        assert A.topic_ids_from_event(event) == want, event
+
+
+def test_search_info_extraction():
+    assert A.search_info({"surface": "home", "query": "x"}) is None
+    assert A.search_info({"surface": "search"}) is None
+    got = A.search_info({"surface": "search",
+                         "search_details": {"query": "jax tpu", "rank": 3}})
+    assert got == {"query": "jax tpu", "rank": 3}
+    got = A.search_info({"surface": "search", "query": "cats"})
+    assert got == {"query": "cats"}
+
+
+def test_enriched_client_event_carries_topic_and_search_metadata():
+    got = A.adapt("client_event", {
+        "user_id": 1, "item_type": "tweet", "action": "favorite",
+        "item_id": 10, "ts_ms": 5, "surface": "search",
+        "topic_id": 42, "search_details": {"query": "q", "rank": 1},
+    })
+    assert len(got) == 1
+    assert got[0].metadata["topic_ids"] == [42]
+    assert got[0].metadata["search_info"]["rank"] == 1
+    # non-search home event: no search_info key
+    got = A.adapt("client_event", {
+        "user_id": 1, "item_type": "tweet", "action": "favorite",
+        "item_id": 10, "ts_ms": 5, "surface": "home",
+    })
+    assert "search_info" not in got[0].metadata
+    assert "topic_ids" not in got[0].metadata

@@ -280,6 +280,61 @@ def rekey_from_interaction_events_adapter(
     ]
 
 
+# -- topic-id + search-info extraction utils ----------------------------------
+
+# client-event namespaces that carry topic context (≡ TopicsIdUtils:
+# suggestionDetails topic ids, timelines-topic controller data, onboarding)
+_TOPIC_ID_KEYS = ("topic_id", "suggestion_topic_id", "controller_topic_id")
+
+
+def topic_ids_from_event(event: Mapping[str, Any]) -> List[int]:
+    """≡ ``TopicsIdUtils.getTopicIds``: every topic id the raw client event
+    carries, across the suggestion/controller-data/onboarding channels."""
+    out = []
+    for k in _TOPIC_ID_KEYS:
+        v = event.get(k)
+        if v is not None:
+            out.append(int(v))
+    for v in event.get("topic_ids", ()) or ():
+        out.append(int(v))
+    return sorted(set(out))
+
+
+def search_info(event: Mapping[str, Any]) -> Optional[Mapping[str, Any]]:
+    """≡ ``SearchInfoUtils``: query + result metadata from a search-surface
+    client event (``searchDetails``): the query string and the 1-based rank
+    of the engaged result, used to build TweetSearchResult UUA metadata."""
+    if event.get("surface") != "search":
+        return None
+    details = event.get("search_details") or {}
+    q = details.get("query") or event.get("query")
+    if q is None:
+        return None
+    info = {"query": str(q)}
+    if details.get("rank") is not None:
+        info["rank"] = int(details["rank"])
+    if details.get("query_filter_type") is not None:
+        info["query_filter_type"] = str(details["query_filter_type"])
+    return info
+
+
+def enriched_client_event_adapter(event: Mapping[str, Any]) -> List[UnifiedUserAction]:
+    """Client-event adaptation + topic/search metadata enrichment — the full
+    ``ClientEventAdapter`` surface (its spec exercises topic-id and
+    search-info extraction alongside the action mapping)."""
+    from the_algorithm_tpu.actions.uua import client_event_adapter
+
+    actions = client_event_adapter(event)
+    topics = topic_ids_from_event(event)
+    sinfo = search_info(event)
+    for a in actions:
+        if topics:
+            a.metadata["topic_ids"] = topics
+        if sinfo is not None:
+            a.metadata["search_info"] = sinfo
+    return actions
+
+
 # -- video client-event util -----------------------------------------------------
 
 _VIDEO_PLAYBACK_MAP = {
@@ -312,7 +367,7 @@ def video_client_event_adapter(event: Mapping[str, Any]) -> List[UnifiedUserActi
 # -- the registry --------------------------------------------------------------
 
 ADAPTERS: Mapping[str, Adapter] = {
-    "client_event": client_event_adapter,
+    "client_event": enriched_client_event_adapter,
     "tls_favs": tls_favs_adapter,
     "social_graph": social_graph_adapter,
     "tweetypie_event": tweetypie_event_adapter,
@@ -323,6 +378,7 @@ ADAPTERS: Mapping[str, Adapter] = {
     "user_modification": user_modification_adapter,
     "interaction_events": rekey_from_interaction_events_adapter,
     "video_client_event": video_client_event_adapter,
+    "behavioral_client_event": enriched_client_event_adapter,
 }
 
 
