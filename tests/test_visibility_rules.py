@@ -179,3 +179,106 @@ class TestStoreBackedRules:
         assert engine.evaluate(SafetyLevel.SEARCH, {
             "tweet_id": 1, "author_id": 5,
         }).action == Action.ALLOW
+
+
+# -- round-2 expansion: new families ≡ ToxicityReplyFilterRules / CardRules /
+# DmRules / SpaceRules / SensitiveMediaSettingsRules / AdvancedFilteringRules /
+# UserUnavailableStateTombstoneRules
+
+
+class TestExpandedCatalog:
+    def setup_method(self):
+        self.engine = VR.catalog_engine()
+
+    def _eval(self, level, **feats):
+        return self.engine.evaluate(level, feats)
+
+    def test_catalog_size(self):
+        assert len(VR.all_rule_names()) >= 60
+        assert len(VR.CATALOG_RULES) == 8
+
+    def test_toxic_reply_tombstone_in_conversation(self):
+        res = self._eval(SafetyLevel.CONVERSATION,
+                         is_reply=True, toxicity_score=0.98)
+        assert res.action == Action.TOMBSTONE
+        # author always sees own reply
+        res = self._eval(SafetyLevel.CONVERSATION, is_reply=True,
+                         toxicity_score=0.98, viewer_is_author=True)
+        assert res.action == Action.ALLOW
+        # mid-toxicity → downrank (abusive-quality section)
+        res = self._eval(SafetyLevel.CONVERSATION,
+                         is_reply=True, toxicity_score=0.93)
+        assert res.action == Action.DOWNRANK
+
+    def test_hidden_by_author(self):
+        res = self._eval(SafetyLevel.CONVERSATION,
+                         is_reply=True, hidden_by_author=True)
+        assert res.action == Action.TOMBSTONE
+
+    def test_malware_card_dropped_everywhere_cards_apply(self):
+        for lvl in (SafetyLevel.TIMELINE_HOME, SafetyLevel.SEARCH,
+                    SafetyLevel.CONVERSATION):
+            res = self._eval(lvl, tweet_labels={"malware_url"})
+            assert res.action == Action.DROP, lvl
+
+    def test_dm_rules(self):
+        res = self._eval(SafetyLevel.DIRECT_MESSAGES,
+                         viewer_blocks_author=True)
+        assert res.action == Action.DROP
+        res = self._eval(SafetyLevel.DIRECT_MESSAGES, is_deleted=True)
+        assert res.action >= Action.TOMBSTONE
+        res = self._eval(SafetyLevel.DIRECT_MESSAGES,
+                         tweet_labels={"spam_high_recall"})
+        assert res.action == Action.DROP
+        # followed sender's request is not spam-dropped
+        res = self._eval(SafetyLevel.DIRECT_MESSAGES,
+                         tweet_labels={"spam_high_recall"},
+                         viewer_follows_author=True)
+        assert res.action == Action.ALLOW
+
+    def test_spaces(self):
+        res = self._eval(SafetyLevel.SPACES,
+                         author_labels={"coordinated_harmful_activity"})
+        assert res.action == Action.DROP
+        res = self._eval(SafetyLevel.SPACES, tweet_labels={"hateful_terms"})
+        assert res.action == Action.INTERSTITIAL
+
+    def test_sensitive_media_viewer_settings(self):
+        # viewer set adult_content to drop
+        res = self._eval(SafetyLevel.TIMELINE_HOME,
+                         media_categories={"adult_content"},
+                         media_setting_adult_content="drop")
+        assert res.action == Action.DROP
+        # default setting: interstitial
+        res = self._eval(SafetyLevel.TIMELINE_HOME,
+                         media_categories={"graphic_violence"})
+        assert res.action == Action.INTERSTITIAL
+        # viewer allows → no sensitive-media action
+        res = self._eval(SafetyLevel.TIMELINE_HOME,
+                         media_categories={"adult_content"},
+                         media_setting_adult_content="allow")
+        assert res.action == Action.ALLOW
+
+    def test_advanced_filtering_respects_follow_edge(self):
+        feats = dict(viewer_filters_new_accounts=True,
+                     author_is_new_account=True)
+        assert self._eval(SafetyLevel.TIMELINE_HOME, **feats).action == Action.DROP
+        feats["viewer_follows_author"] = True
+        assert self._eval(SafetyLevel.TIMELINE_HOME, **feats).action == Action.ALLOW
+
+    def test_user_unavailable_tombstone_fail_closed(self):
+        res = self._eval(SafetyLevel.CONVERSATION,
+                         author_labels={"deactivated"})
+        assert res.action == Action.TOMBSTONE
+
+    def test_tombstone_removed_by_filter(self):
+        from the_algorithm_tpu.pipeline.visibility import VisibilityFilter
+        from the_algorithm_tpu.pipeline.component import Candidate
+
+        f = VisibilityFilter(self.engine, SafetyLevel.CONVERSATION)
+        cands = [Candidate(id=1, features={"is_reply": True,
+                                           "toxicity_score": 0.99}),
+                 Candidate(id=2, features={})]
+        res = f.apply(None, cands, None)
+        assert [c.id for c in res.kept] == [2]
+        assert res.removed[0].features["visibility_reason"] == "toxic_reply_hidden"

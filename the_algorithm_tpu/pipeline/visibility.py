@@ -28,7 +28,8 @@ class Action(enum.IntEnum):
     ALLOW = 0
     DOWNRANK = 1
     INTERSTITIAL = 2
-    DROP = 3
+    TOMBSTONE = 3  # replace with "unavailable" placeholder (threads/DMs)
+    DROP = 4
 
 
 class SafetyLevel(enum.Enum):
@@ -39,6 +40,9 @@ class SafetyLevel(enum.Enum):
     SEARCH = "search"
     RECOMMENDATIONS = "recommendations"
     NOTIFICATIONS = "notifications"
+    CONVERSATION = "conversation"  # reply threads (ToxicityReplyFilter)
+    DIRECT_MESSAGES = "direct_messages"  # DmConversation/DmEventRules
+    SPACES = "spaces"  # SpaceRules
 
 
 @dataclasses.dataclass(frozen=True)
@@ -187,7 +191,10 @@ class VisibilityFilter(Filter):
         kept, removed = [], []
         for c in candidates:
             res = self.engine.evaluate(self.level, c.features)
-            if res.action == Action.DROP:
+            if res.action in (Action.DROP, Action.TOMBSTONE):
+                # ranked surfaces have no placeholder slot: a tombstone is
+                # a removal here; thread/DM renderers consume the reason to
+                # draw the "unavailable" card
                 c.features["visibility_reason"] = res.reason
                 removed.append(c)
                 continue

@@ -234,6 +234,123 @@ RECS_ONLY_RULES = [
 ]
 
 
+# -- toxicity reply filter (ToxicityReplyFilterRules.scala) --------------------
+
+TOXICITY_REPLY_RULES = [
+    Rule("ToxicityReplySectionRule",
+         non_author(all_of(flag("is_reply"),
+                           score_above("toxicity_score", 0.91))),
+         Action.DOWNRANK, "toxic_reply_abusive_quality"),
+    Rule("ToxicityReplyHiddenRule",
+         non_author(all_of(flag("is_reply"), flag("hidden_by_author"))),
+         Action.TOMBSTONE, "reply_hidden_by_author"),
+    Rule("ToxicityReplyHighToxicityTombstone",
+         non_author(all_of(flag("is_reply"),
+                           score_above("toxicity_score", 0.97))),
+         Action.TOMBSTONE, "toxic_reply_hidden"),
+]
+
+# -- card / URL rules (CardRules.scala) -----------------------------------------
+
+CARD_RULES = [
+    Rule("UnsafeUrlCardRule",
+         non_author(all_of(flag("has_card"), tweet_label("unsafe_url"))),
+         Action.DROP, "unsafe_url_card"),
+    Rule("MalwareUrlCardRule",
+         any_of(tweet_label("malware_url"), tweet_label("phishing_url")),
+         Action.DROP, "malware_url", fail_closed=True),
+    Rule("SpammyUrlCardDownrankRule",
+         non_follower(tweet_label("spammy_url")),
+         Action.DOWNRANK, "spammy_url"),
+]
+
+# -- DM rules (DmConversationRules / DmEventRules.scala) ------------------------
+
+DM_RULES = [
+    Rule("DmDropBlockedSender", flag("viewer_blocks_author"),
+         Action.DROP, "dm_blocked_sender"),
+    Rule("DmDropNonFollowedSpamRequest",
+         non_follower(any_of(tweet_label("spam_high_recall"),
+                             author_label("spammy"))),
+         Action.DROP, "dm_spam_request"),
+    Rule("DmTombstoneDeletedMessage", flag("is_deleted"),
+         Action.TOMBSTONE, "dm_deleted"),
+    Rule("DmInterstitialNsfwMedia",
+         all_of(flag("is_nsfw_media"), not_(flag("nsfw_opt_in"))),
+         Action.INTERSTITIAL, "dm_nsfw_media"),
+]
+
+# -- spaces (SpaceRules.scala) ---------------------------------------------------
+
+SPACE_RULES = [
+    Rule("SpaceDropCoordinatedHarm",
+         author_label("coordinated_harmful_activity"),
+         Action.DROP, "space_coordinated_harm", fail_closed=True),
+    Rule("SpaceDropSuspendedHost", author_label("suspended"),
+         Action.DROP, "space_suspended_host", fail_closed=True),
+    Rule("SpaceInterstitialHatefulTitle",
+         non_author(tweet_label("hateful_terms")),
+         Action.INTERSTITIAL, "space_hateful_title"),
+]
+
+# -- sensitive-media viewer settings (SensitiveMediaSettingsRules.scala) --------
+#
+# viewer setting per media category: "drop" | "interstitial" | "allow"
+
+
+def _media_setting(category: str, wanted: str) -> Condition:
+    return lambda f: (
+        category in f.get("media_categories", ())
+        and f.get(f"media_setting_{category}", "interstitial") == wanted
+    )
+
+
+SENSITIVE_MEDIA_RULES = [
+    Rule(f"SensitiveMedia{cat.title().replace('_', '')}{act.title()}Rule",
+         non_author(_media_setting(cat, act)),
+         Action.DROP if act == "drop" else Action.INTERSTITIAL,
+         f"sensitive_media_{cat}")
+    for cat in ("adult_content", "graphic_violence", "other_sensitive")
+    for act in ("drop", "interstitial")
+]
+
+# -- advanced viewer-side filtering (AdvancedFilteringRules.scala) ---------------
+
+ADVANCED_FILTERING_RULES = [
+    Rule("AdvancedFilterNoConfirmedEmailRule",
+         all_of(flag("viewer_filters_no_confirmed_email"),
+                flag("author_has_no_confirmed_email"),
+                not_(flag("viewer_follows_author"))),
+         Action.DROP, "filter_no_confirmed_email"),
+    Rule("AdvancedFilterDefaultProfileImageRule",
+         all_of(flag("viewer_filters_default_profile_image"),
+                flag("author_has_default_profile_image"),
+                not_(flag("viewer_follows_author"))),
+         Action.DROP, "filter_default_profile_image"),
+    Rule("AdvancedFilterNewAccountsRule",
+         all_of(flag("viewer_filters_new_accounts"),
+                flag("author_is_new_account"),
+                not_(flag("viewer_follows_author"))),
+         Action.DROP, "filter_new_accounts"),
+    Rule("AdvancedFilterNotFollowedByRule",
+         all_of(flag("viewer_filters_not_followed_by"),
+                not_(flag("author_follows_viewer")),
+                not_(flag("viewer_follows_author"))),
+         Action.DROP, "filter_not_followed_by"),
+]
+
+# -- user-unavailable tombstones (UserUnavailableStateTombstoneRules.scala) -----
+
+USER_UNAVAILABLE_RULES = [
+    Rule("SuspendedUserTombstoneRule", author_label("suspended"),
+         Action.TOMBSTONE, "author_suspended_tombstone", fail_closed=True),
+    Rule("DeactivatedUserTombstoneRule", author_label("deactivated"),
+         Action.TOMBSTONE, "author_deactivated_tombstone", fail_closed=True),
+    Rule("OffboardedUserTombstoneRule", author_label("offboarded"),
+         Action.TOMBSTONE, "author_offboarded_tombstone"),
+]
+
+
 # -- per-level policies (VisibilityPolicy.scala assembly) ----------------------
 
 CATALOG_RULES: Dict[SafetyLevel, List[Rule]] = {
@@ -261,7 +378,24 @@ CATALOG_RULES: Dict[SafetyLevel, List[Rule]] = {
         RELATIONSHIP_RULES + USER_LABEL_RULES + TWEET_LABEL_RULES
         + DOWNRANKING_RULES
     ),
+    SafetyLevel.CONVERSATION: (
+        RELATIONSHIP_RULES + USER_UNAVAILABLE_RULES + TOXICITY_REPLY_RULES
+        + TWEET_LABEL_RULES + CARD_RULES + SENSITIVE_MEDIA_RULES
+        + ADVANCED_FILTERING_RULES
+    ),
+    SafetyLevel.DIRECT_MESSAGES: RELATIONSHIP_RULES + DM_RULES,
+    SafetyLevel.SPACES: RELATIONSHIP_RULES + SPACE_RULES,
 }
+
+# search additionally applies the card/sensitive-media families
+CATALOG_RULES[SafetyLevel.SEARCH] = (
+    CATALOG_RULES[SafetyLevel.SEARCH] + CARD_RULES + SENSITIVE_MEDIA_RULES
+)
+# home timeline honours viewer advanced filters + card safety
+CATALOG_RULES[SafetyLevel.TIMELINE_HOME] = (
+    CATALOG_RULES[SafetyLevel.TIMELINE_HOME] + CARD_RULES
+    + SENSITIVE_MEDIA_RULES + ADVANCED_FILTERING_RULES
+)
 
 
 def catalog_engine(stats=None):
