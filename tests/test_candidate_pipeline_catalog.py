@@ -28,6 +28,11 @@ class Query:
     geo_id: int = None
     trend_id: int = None
     last_searched_tweet_id: int = None
+    language_code: str = None
+    country_code: str = None
+    event_id: int = None
+    interest_topic_ids: tuple = ()
+    pinned_tweet_id: int = None
 
 
 def _cluster_index(C=8, M=4, base=100):
@@ -120,6 +125,23 @@ def make_world():
             followed_authors=jnp.asarray(sorted(q.followed_authors),
                                          jnp.int32),
         ),
+        # round-2 additions
+        content_ann_items=jnp.asarray(items),
+        content_tweet_vec_fn=lambda t: jnp.asarray(items[int(t) % T]),
+        clip_long_items=jnp.asarray(items),
+        clip_short_items=jnp.asarray(items),
+        semantic_video_items=jnp.asarray(items),
+        evergreen_video_items=jnp.asarray(items),
+        dr_cross_border_items=jnp.asarray(items),
+        dr_tier_two_items=jnp.asarray(items),
+        events_index=_cluster_index(base=900),
+        pop_grok_topic_index=_cluster_index(base=1000),
+        control_ai_topic_index=_cluster_index(base=1100),
+        haplolite_store={"us": [(1201, 0.9), (1202, 0.5)]},
+        video_tweet_ids=np.asarray([801, 802, 803], np.int32),
+        curated_tls_authors={"en": [(1301, 1.0)]},
+        pinned_tweet_author_fn=lambda t: int(t) % 8,
+        producer_embedding_by_id_fn=lambda a: _emb((int(a) % 4,)),
     )
 
 
@@ -144,6 +166,7 @@ class TestCatalogBreadth:
         assert missing == {
             "popular_topic_tweets", "skit_topic_tweets",
             "skit_high_precision_topic_tweets", "qig_search_history_tweets",
+            "user_interests_summary",
         }
 
     def test_family_coverage(self):
@@ -220,3 +243,77 @@ class TestEndToEnd:
         )
         out = pipe.source.get(Query(last_searched_tweet_id=9), Params())
         assert {c.id for c in out} == {41, 42}
+
+
+class TestRoundTwoSpecs:
+    """The 24 pipelines added to reach the reference's ~50-config catalog."""
+
+    def test_catalog_is_fifty_wide(self):
+        assert len(cat.catalog_specs()) >= 50
+        assert len(CATALOG) == len(cat.catalog_specs())
+
+    def test_new_family_coverage(self):
+        fams = {s.family for s in cat.catalog_specs()}
+        assert {"content_ann", "video", "popularity", "curated"} <= fams
+
+    def test_haplolite_country_store(self):
+        pipes = cat.enabled_pipelines(CATALOG, Query(country_code="us"),
+                                      Params())
+        hap = next(p for p in pipes if p.source.name == "Haplolite")
+        got = hap.source.get(Query(country_code="us"), Params())
+        assert [(c.id, c.score) for c in got] == [(1201, 0.9), (1202, 0.5)]
+        # unknown country → empty, not error
+        assert hap.source.get(Query(country_code="xx"), Params()) == []
+
+    def test_curated_tls_language_routing(self):
+        names = {p.source.name for p in cat.enabled_pipelines(
+            CATALOG, Query(language_code="en"), Params())}
+        assert "CuratedUserTlsPerLangauge" in names
+        names = {p.source.name for p in cat.enabled_pipelines(
+            CATALOG, Query(), Params())}
+        assert "CuratedUserTlsPerLangauge" not in names
+
+    def test_trends_video_restricted_to_video_corpus(self):
+        pipes = cat.enabled_pipelines(CATALOG, Query(trend_id=0), Params())
+        tv = next(p for p in pipes if p.source.name == "TrendsVideo")
+        got = tv.source.get(Query(trend_id=0), Params())
+        assert {c.id for c in got} <= {801, 802, 803}
+        assert got  # trend row 0 holds ids 800..803 → intersection non-empty
+
+    def test_video_pipelines_consumer_signal(self):
+        names = {p.source.name for p in cat.enabled_pipelines(
+            CATALOG, Query(), Params())}
+        assert {"TwitterClipV0LongVideo", "TwitterClipV0ShortVideo",
+                "EvergreenVideos"} <= names
+
+    def test_user_interests_summary_expansion(self):
+        pipes = cat.enabled_pipelines(
+            CATALOG, Query(interest_topic_ids=(0, 1)), Params())
+        uis = next(p for p in pipes
+                   if p.source.name == "UserInterestsSummary")
+        got = uis.source.get(Query(interest_topic_ids=(0, 1)), Params())
+        ids = {c.id for c in got}
+        # union of topic rows 0 and 1 (base=500 index: row r holds
+        # 500+4r..500+4r+3)
+        assert ids <= set(range(500, 508)) and len(ids) > 4
+
+    def test_pinned_tweet_related_creator(self):
+        pipes = cat.enabled_pipelines(
+            CATALOG, Query(pinned_tweet_id=12), Params())
+        names = {p.source.name for p in pipes}
+        assert "PinnedTweetRelatedCreator" in names
+
+    def test_events_signal(self):
+        pipes = cat.enabled_pipelines(CATALOG, Query(event_id=1), Params())
+        ev = next(p for p in pipes if p.source.name == "Events")
+        got = ev.source.get(Query(event_id=1), Params())
+        assert {c.id for c in got} == {904, 905, 906, 907}
+
+    def test_tier_two_disabled_by_default(self):
+        names = {p.source.name for p in cat.enabled_pipelines(
+            CATALOG, Query(source_tweet_id=7), Params())}
+        assert "ContentExplorationDRTweetTweetTierTwo" not in names
+        assert "ContentExplorationEmbeddingSimilarityTierTwo" not in names
+        # but the always-on content-ann pipelines fire on source tweets
+        assert "ContentAnnTweetBased" in names
+        assert "MediaDeepRetrievalTweetTweetSimilarity" in names

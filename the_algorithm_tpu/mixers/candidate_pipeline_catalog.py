@@ -89,6 +89,30 @@ class SourceWorld:
     # earlybird
     earlybird_index: Any = None
     earlybird_query_fn: Optional[Callable] = None  # query -> SearchQuery
+    # content/text-embedding ANN (ContentAnnTweetBased / embedding-similarity)
+    content_ann_items: Any = None  # [N, D] text/content embeddings
+    content_tweet_vec_fn: Optional[Callable] = None  # tweet_id -> [D]
+    # video corpora (clip / semantic / evergreen / trends video)
+    clip_long_items: Any = None
+    clip_short_items: Any = None
+    semantic_video_items: Any = None
+    evergreen_video_items: Any = None
+    # cross-border / tier-two exploration DR tables
+    dr_cross_border_items: Any = None
+    dr_tier_two_items: Any = None
+    # events / grok-topic / control-ai topic indexes (topic-shaped)
+    events_index: Any = None
+    pop_grok_topic_index: Any = None
+    control_ai_topic_index: Any = None
+    # haplolite per-country popular-tweet store {country: [(id, score)]}
+    haplolite_store: Any = None
+    # external-id set of video tweets (TrendsVideo corpus restriction)
+    video_tweet_ids: Any = None
+    # curated per-language author timelines {lang: [author_id]}
+    curated_tls_authors: Any = None
+    # pinned-tweet → related-creator producer embeddings
+    pinned_tweet_author_fn: Optional[Callable] = None  # tweet_id -> author_id
+    producer_embedding_by_id_fn: Optional[Callable] = None  # author -> emb
 
 
 # query-signal extractors — the USS-derived signals a spec needs
@@ -133,6 +157,11 @@ SIGNAL_CHECKS: Dict[str, Callable[[Any], bool]] = {
     "trend": lambda q: getattr(q, "trend_id", None) is not None,
     "search_history": lambda q: getattr(q, "last_searched_tweet_id", None)
     is not None,
+    "language": lambda q: getattr(q, "language_code", None) is not None,
+    "country": lambda q: getattr(q, "country_code", None) is not None,
+    "event": lambda q: getattr(q, "event_id", None) is not None,
+    "interests": lambda q: bool(getattr(q, "interest_topic_ids", ()) or ()),
+    "pinned_tweet": lambda q: getattr(q, "pinned_tweet_id", None) is not None,
 }
 
 
@@ -163,6 +192,32 @@ class ExpansionSource(CandidateSource):
         out = interleave_blend(per, self._max)
         for c in out:
             c.source = self._name
+        return out
+
+
+class ListStoreSource(CandidateSource):
+    """Host-side keyed list store → candidates (the Haplolite popular-by-
+    country store and the curated per-language author timelines are plain
+    KV lists, not device indexes)."""
+
+    def __init__(self, rows_fn: Callable[[Any], Sequence], name: str,
+                 max_results: int = 200):
+        self._rows_fn = rows_fn
+        self._name = name
+        self._max = max_results
+
+    @property
+    def name(self):
+        return self._name
+
+    def get(self, query, params) -> List[Candidate]:
+        rows = self._rows_fn(query) or ()
+        out = []
+        for r in rows[: self._max]:
+            tid, score = (r if isinstance(r, (tuple, list)) else (r, 0.0))
+            out.append(Candidate(id=int(tid), score=float(score),
+                                 source=self._name,
+                                 features={"retrieval_score": float(score)}))
         return out
 
 
@@ -356,6 +411,136 @@ def catalog_specs() -> List[PipelineSpec]:
           lambda w: se.DiffusionEngine(
               w.diffusion_index, w.sann_config, w.interested_in_fn,
               name="Diffusion")),
+        # -- content/text-embedding ANN family
+        S("content_ann_tweet_based", "content_ann", ("source_tweet",),
+          ("content_ann_items", "content_tweet_vec_fn"),
+          lambda w: se.TwHINANNEngine(
+              w.content_ann_items,
+              lambda q: w.content_tweet_vec_fn(_source_tweet(q)),
+              name="ContentAnnTweetBased")),
+        S("dr_tweet_tweet_embedding_similarity", "content_ann",
+          ("source_tweet",), ("content_ann_items", "dr_tweet_vec_fn"),
+          lambda w: se.TwHINANNEngine(
+              w.content_ann_items,
+              lambda q: w.dr_tweet_vec_fn(_source_tweet(q)),
+              name="DeepRetrievalTweetTweetEmbeddingSimilarity")),
+        S("content_exploration_embedding_similarity", "content_ann",
+          ("source_tweet",), ("content_ann_items", "content_tweet_vec_fn"),
+          lambda w: se.TwHINANNEngine(
+              w.content_ann_items,
+              lambda q: w.content_tweet_vec_fn(_source_tweet(q)),
+              k=100, name="ContentExplorationEmbeddingSimilarity"),
+          enabled_by_default=False),
+        S("content_exploration_embedding_similarity_tier_two", "content_ann",
+          ("source_tweet",), ("dr_tier_two_items", "content_tweet_vec_fn"),
+          lambda w: se.TwHINANNEngine(
+              w.dr_tier_two_items,
+              lambda q: w.content_tweet_vec_fn(_source_tweet(q)),
+              k=100, name="ContentExplorationEmbeddingSimilarityTierTwo"),
+          enabled_by_default=False),
+        # -- exploration DR tiers + cross-border + media T-T
+        S("content_exploration_dr_user_tweet", "deep_retrieval",
+          ("consumer",), ("dr_evergreen_items", "dr_user_vec_fn"),
+          lambda w: _dense(w, w.dr_evergreen_items,
+                           "ContentExplorationDRUserTweet", "dr_user_vec_fn"),
+          enabled_by_default=False),
+        S("content_exploration_dr_user_tweet_tier_two", "deep_retrieval",
+          ("consumer",), ("dr_tier_two_items", "dr_user_vec_fn"),
+          lambda w: _dense(w, w.dr_tier_two_items,
+                           "ContentExplorationDRUserTweetTierTwo",
+                           "dr_user_vec_fn"),
+          enabled_by_default=False),
+        S("content_exploration_dr_tweet_tweet_tier_two", "deep_retrieval",
+          ("source_tweet",), ("dr_tier_two_items", "dr_tweet_vec_fn"),
+          lambda w: se.TwHINANNEngine(
+              w.dr_tier_two_items,
+              lambda q: w.dr_tweet_vec_fn(_source_tweet(q)),
+              name="ContentExplorationDRTweetTweetTierTwo"),
+          enabled_by_default=False),
+        S("content_exploration_evergreen_dr_tweet_tweet", "deep_retrieval",
+          ("source_tweet",), ("dr_evergreen_items", "dr_tweet_vec_fn"),
+          lambda w: se.TwHINANNEngine(
+              w.dr_evergreen_items,
+              lambda q: w.dr_tweet_vec_fn(_source_tweet(q)),
+              name="ContentExplorationEvergreenDRTweetTweet"),
+          enabled_by_default=False),
+        S("evergreen_dr_cross_border_user_tweet", "deep_retrieval",
+          ("consumer", "country"), ("dr_cross_border_items", "dr_user_vec_fn"),
+          lambda w: _dense(w, w.dr_cross_border_items,
+                           "EvergreenDRCrossBorderUserTweet",
+                           "dr_user_vec_fn")),
+        S("media_deep_retrieval_tweet_tweet", "deep_retrieval",
+          ("source_tweet",), ("dr_media_items", "dr_tweet_vec_fn"),
+          lambda w: se.TwHINANNEngine(
+              w.dr_media_items,
+              lambda q: w.dr_tweet_vec_fn(_source_tweet(q)),
+              name="MediaDeepRetrievalTweetTweetSimilarity")),
+        S("twhin_user_tweet_similarity", "twhin", ("consumer",),
+          ("twhin_items", "twhin_user_vec_fn"),
+          lambda w: _dense(w, w.twhin_items, "TwhinUserTweetSimilarity",
+                           "twhin_user_vec_fn", k=100)),
+        # -- video corpora
+        S("twitter_clip_v0_long_video", "video", ("consumer",),
+          ("clip_long_items", "dr_user_vec_fn"),
+          lambda w: _dense(w, w.clip_long_items, "TwitterClipV0LongVideo",
+                           "dr_user_vec_fn")),
+        S("twitter_clip_v0_short_video", "video", ("consumer",),
+          ("clip_short_items", "dr_user_vec_fn"),
+          lambda w: _dense(w, w.clip_short_items, "TwitterClipV0ShortVideo",
+                           "dr_user_vec_fn")),
+        S("semantic_video", "video", ("source_tweet",),
+          ("semantic_video_items", "content_tweet_vec_fn"),
+          lambda w: se.TwHINANNEngine(
+              w.semantic_video_items,
+              lambda q: w.content_tweet_vec_fn(_source_tweet(q)),
+              name="SemanticVideo")),
+        S("evergreen_videos", "video", ("consumer",),
+          ("evergreen_video_items", "dr_user_vec_fn"),
+          lambda w: _dense(w, w.evergreen_video_items, "EvergreenVideos",
+                           "dr_user_vec_fn")),
+        S("trends_video", "video", ("trend",),
+          ("trend_index", "video_tweet_ids"),
+          lambda w: se.TopicTweetEngine(
+              w.trend_index, lambda q: q.trend_id,
+              allowed_ids=w.video_tweet_ids, name="TrendsVideo")),
+        # -- topic-shaped extras
+        S("events_tweets", "topic", ("event",), ("events_index",),
+          lambda w: _topic(w, w.events_index, "Events", attr="event_id")),
+        S("pop_grok_topic_tweets", "topic", ("topic",),
+          ("pop_grok_topic_index",),
+          lambda w: _topic(w, w.pop_grok_topic_index, "PopGrokTopicTweets")),
+        S("control_ai_topic", "topic", ("topic",), ("control_ai_topic_index",),
+          lambda w: _topic(w, w.control_ai_topic_index, "ControlAiTopic"),
+          enabled_by_default=False),
+        S("user_interests_summary", "topic", ("interests",), ("topic_index",),
+          lambda w: ExpansionSource(
+              lambda t: se.TopicTweetEngine(
+                  w.topic_index, lambda q, _t=t: _t,
+                  name="UserInterestsSummary"),
+              lambda q: [int(t) for t in q.interest_topic_ids[:4]],
+              200, "UserInterestsSummary")),
+        S("user_location_tweets", "topic", ("consumer",), ("geo_index",),
+          lambda w: _topic(w, w.geo_index, "UserLocation", attr="geo_id")),
+        # -- host KV stores
+        S("haplolite", "popularity", ("country",), ("haplolite_store",),
+          lambda w: ListStoreSource(
+              lambda q: w.haplolite_store.get(q.country_code),
+              "Haplolite")),
+        S("curated_user_tls_per_language", "curated", ("language",),
+          ("curated_tls_authors", "earlybird_index"),
+          lambda w: ListStoreSource(
+              lambda q: w.curated_tls_authors.get(q.language_code),
+              "CuratedUserTlsPerLangauge")),
+        # -- pinned-tweet related creators
+        S("pinned_tweet_related_creator", "simclusters",
+          ("pinned_tweet",),
+          ("sann_index", "sann_config", "pinned_tweet_author_fn",
+           "producer_embedding_by_id_fn"),
+          lambda w: se.SimClustersANNEngine(
+              w.sann_index, w.sann_config,
+              lambda q: w.producer_embedding_by_id_fn(
+                  w.pinned_tweet_author_fn(int(q.pinned_tweet_id))),
+              name="PinnedTweetRelatedCreator")),
     ]
 
 

@@ -314,6 +314,8 @@ class TopicTweetEngine(CandidateSource):
         min_relevance: float = 0.0,
         high_precision_relevance: float = 0.75,
         high_precision: bool = False,
+        allowed_ids=None,  # optional id allow-set (the TrendsVideo variant
+        # restricts the trend row to its video corpus)
         name: str = "SkitTopicTweet",
     ):
         self.topic_index = topic_index
@@ -321,6 +323,8 @@ class TopicTweetEngine(CandidateSource):
         self.min_relevance = (
             high_precision_relevance if high_precision else min_relevance
         )
+        self.allowed_ids = (None if allowed_ids is None
+                            else {int(i) for i in np.asarray(allowed_ids)})
         self._name = name
 
     @property
@@ -332,9 +336,12 @@ class TopicTweetEngine(CandidateSource):
         ids = np.asarray(self.topic_index.tweet_ids[topic])
         scores = np.asarray(self.topic_index.scores[topic])
         keep = scores >= self.min_relevance
-        return _to_candidates(
+        out = _to_candidates(
             np.where(keep, ids, int(PAD_ID)), scores, self.name
         )
+        if self.allowed_ids is not None:
+            out = [c for c in out if c.id in self.allowed_ids]
+        return out
 
 
 class UAGEngine(CandidateSource):
