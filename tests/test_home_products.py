@@ -232,3 +232,76 @@ class TestMixerSelectors:
         ])
         tl = pipe.run(hp.TimelineQuery(user_id=1))
         assert tl.tweet_ids() == [1]
+
+
+class TestForYouMixer:
+    """≡ ForYouScoredTweetsMixerPipelineConfig — scored tweets + WTF + ads."""
+
+    def _scored_pipeline(self):
+        from the_algorithm_tpu.mixers import home_mixer
+        from the_algorithm_tpu.pipeline.component import (
+            CandidatePipeline, CandidateSource)
+        import numpy as np
+
+        class Src(CandidateSource):
+            def get(self, query, params):
+                return [Candidate(id=100 + i,
+                                  features={"author_id": i % 3,
+                                            "created_ts": 10,
+                                            "retrieval_score": 1.0 - 0.05 * i})
+                        for i in range(12)]
+
+        def predict(x):
+            # score proportional to retrieval_score column
+            p = np.tile(x[:, :1], (1, 15)) * 0.1 + 0.01
+            return np.clip(p, 0.0, 1.0)
+
+        return home_mixer.build_for_you_pipeline(
+            candidate_pipelines=[CandidatePipeline(source=Src())],
+            hydrators=[],
+            predict_fn=predict,
+        )
+
+    def test_full_for_you_response(self):
+        flow = RecommendationFlow(
+            sources=[lambda req: [Candidate(id=900 + i, score=1.0)
+                                  for i in range(3)]],
+            predicates=[])
+        chains = EditChainStore()
+        chains.record_edit(101, 9101)
+        mixer = hp.build_for_you_mixer(
+            scored_tweets_pipeline=self._scored_pipeline(),
+            wtf_flow=flow, ads=[Candidate(id=7001)],
+            edit_chains=chains, wtf_position=3)
+        from the_algorithm_tpu.mixers.home_mixer import ForYouQuery
+        q = ForYouQuery(user_id=1, max_results=20)
+        q.served_tweet_ids = [101]
+        tl = mixer.run(q)
+        kinds = [e.kind for e in tl.entries]
+        assert EntryKind.MODULE in kinds and EntryKind.AD in kinds
+        # ranked order: first tweets sorted by model score desc
+        tweets = [e.candidate for e in tl.entries
+                  if e.kind == EntryKind.TWEET]
+        scores = [t.score for t in tweets]
+        assert all(scores[i] >= scores[i + 1] - 1e-9
+                   for i in range(len(scores) - 1))
+        assert any(i.op == "replace_entry" for i in tl.instructions)
+
+    def test_scoring_failure_propagates(self):
+        from the_algorithm_tpu.pipeline.component import (
+            CandidatePipeline, CandidateSource)
+
+        class Boom(CandidateSource):
+            def get(self, query, params):
+                raise RuntimeError("scored tweets down")
+
+        mixer = hp.build_for_you_mixer(
+            scored_tweets_pipeline=None)
+        # swap in a failing source: fail_open=False must propagate
+        mixer.candidate_pipelines[0].pipeline.source = Boom()
+        from the_algorithm_tpu.mixers.home_mixer import ForYouQuery
+        try:
+            mixer.run(ForYouQuery(user_id=1))
+            assert False, "expected propagation"
+        except RuntimeError:
+            pass

@@ -409,6 +409,89 @@ class _DropMaxFromQuery(DropMaxEntries):
         return super().select(query, entries, params)
 
 
+# -- For You full mixer ---------------------------------------------------------
+
+
+class ScoredTweetsSource(CandidateSource):
+    """Wraps the scored-tweets RecommendationPipeline as a mixer candidate
+    pipeline (≡ ``ForYouScoredTweetsCandidatePipelineConfig`` delegating to
+    ``ScoredTweetsRecommendationPipelineConfig``)."""
+
+    def __init__(self, recommendation_pipeline, name="ForYouScoredTweets"):
+        self.pipeline = recommendation_pipeline
+        self._name = name
+
+    @property
+    def name(self):
+        return self._name
+
+    def get(self, query, params) -> List[Candidate]:
+        return self.pipeline.run(query, params).candidates
+
+
+class SortByScore:
+    """Primary ordering for the ranked product (score, not recency)."""
+
+    name = "SortByScore"
+
+    def select(self, query, entries, params):
+        from the_algorithm_tpu.pipeline.mixer import EntryKind
+
+        primary = [e for e in entries if e.kind == EntryKind.TWEET]
+        rest = [e for e in entries if e.kind != EntryKind.TWEET]
+        primary.sort(key=lambda e: -(e.candidate.score or 0.0))
+        return primary + rest
+
+
+def build_for_you_mixer(
+    *,
+    scored_tweets_pipeline,
+    wtf_flow=None,
+    ads: Sequence[Candidate] = (),
+    edit_chains=None,
+    wtf_position: int = 6,
+    ad_spacing: int = 5,
+    stats=None,
+) -> MixerPipeline:
+    """≡ ``ForYouScoredTweetsMixerPipelineConfig``: the ranked scored-tweets
+    pipeline mixed with the who-to-follow module, ads injection, and the
+    edited-tweets instruction pipeline — the full For You response."""
+    pipelines = [MixerCandidatePipeline(
+        pipeline=CandidatePipeline(
+            source=ScoredTweetsSource(scored_tweets_pipeline),
+            fail_open=False),  # no backup product: scoring failures raise
+    )]
+    if wtf_flow is not None:
+        pipelines.append(MixerCandidatePipeline(
+            pipeline=CandidatePipeline(source=WhoToFollowModuleSource(wtf_flow)),
+            kind=EntryKind.MODULE,
+            grouper=who_to_follow_grouper,
+        ))
+    if ads:
+        pipelines.append(MixerCandidatePipeline(
+            pipeline=CandidatePipeline(source=StaticAdsSource(ads)),
+            kind=EntryKind.AD,
+        ))
+    if edit_chains is not None:
+        pipelines.append(MixerCandidatePipeline(
+            pipeline=CandidatePipeline(source=_NullSource("EditedTweets")),
+            instruction_builder=EditedTweetsInstructionBuilder(edit_chains),
+        ))
+    return MixerPipeline(
+        candidate_pipelines=pipelines,
+        entry_selectors=[
+            SortByScore(),
+            DropModuleTooFewItems(2, module_kind="who_to_follow"),
+            DropMaxModuleItemCandidates(5, module_kind="who_to_follow"),
+            InsertFixedPositionModule(EntryKind.MODULE, wtf_position,
+                                      module_kind="who_to_follow"),
+            InsertAdResults(min_spacing=ad_spacing),
+            _DropMaxFromQuery(),
+        ],
+        stats=stats,
+    )
+
+
 # -- registry -----------------------------------------------------------------
 
 
