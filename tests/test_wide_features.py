@@ -249,3 +249,46 @@ class TestReadPathNoAllocation:
         col = store.gather("tweet_agg_fav_count_50d",
                            np.asarray([c.id for c in cands]))
         assert (col == 0.0).all()
+
+
+class TestPairAggregates:
+    """Keyed-cross aggregates (user×author/topic/engager/… — the
+    TimelinesAggregationConfigDetails pair groups)."""
+
+    def test_schema_includes_pair_crosses(self):
+        names = set(fs.expand(fs.WIDE_SCHEMA))
+        assert "user_author_agg_fav_mean_7d" in names
+        assert "user_topic_agg_fav_count_1d" in names
+        assert "user_dow_agg_dwell_count_30m" in names
+        assert fs.total_width(fs.WIDE_SCHEMA) >= 1700
+
+    def test_pair_key_reads_are_fail_soft(self):
+        """Unknown (viewer, author) pairs hydrate to zeros, no allocation."""
+        q = _query(user_id=99999)  # viewer with no aggregate history
+        cands = [Candidate(id=1, features={"author_id": 88888})]
+        store = _hydrate_all(q, cands)
+        col = store.gather("user_author_agg_fav_count_7d", np.asarray([1]))
+        np.testing.assert_array_equal(col, [0.0])
+
+    def test_known_pair_reads_nonzero(self):
+        """A (viewer, author) pair with event history reads back > 0."""
+        st, resolver = WORLD["pair_aggs"]["user_author_agg"]
+        # pick a key that the fixture actually wrote
+        (uid, aid) = next(iter(resolver._map))
+        q = _query(user_id=uid)
+        cands = [Candidate(id=1, features={"author_id": aid})]
+        store = _hydrate_all(q, cands)
+        ids = np.asarray([1])
+        total = sum(
+            float(store.gather(f"user_author_agg_{lab}_count_{hl}", ids)[0])
+            for lab in fs.ENGAGEMENT_LABELS for hl in fs.AGG_HALFLIFE_NAMES
+        )
+        assert total > 0.0
+
+    def test_dow_hour_keys_broadcast(self):
+        q = _query(user_id=3, now=10_000_000)
+        cands = [Candidate(id=i, features={"author_id": 1}) for i in range(4)]
+        store = _hydrate_all(q, cands)
+        col = store.gather("user_hour_agg_fav_count_50d",
+                           np.asarray([0, 1, 2, 3]))
+        assert len(set(col.tolist())) == 1  # same viewer-hour value for all

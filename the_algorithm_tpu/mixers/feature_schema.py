@@ -172,6 +172,12 @@ ENGAGEMENT_LABELS = (
 AGG_HALFLIVES_S = (1800.0, 86400.0, 7 * 86400.0, 50 * 86400.0)
 AGG_HALFLIFE_NAMES = ("30m", "1d", "7d", "50d")
 TWEET_AGG_METRICS = ("count", "sum", "mean")
+# count-only keyed crosses beyond user×author (full-metric)
+PAIR_AGG_PREFIXES = (
+    "user_author_oon_agg", "user_engager_agg", "user_mention_agg",
+    "user_original_author_agg", "user_topic_agg", "user_list_agg",
+    "user_dow_agg", "user_hour_agg",
+)
 AUTHOR_META_FEATURES = (
     "author_follower_count_log", "author_following_count_log",
     "author_account_age_days", "author_is_verified",
@@ -236,6 +242,19 @@ def build_wide_schema() -> List[FeatureSpec]:
     for label in ENGAGEMENT_LABELS:
         for hl in AGG_HALFLIFE_NAMES:
             schema.append(FeatureSpec(f"user_agg_{label}_count_{hl}"))
+    # pair/keyed aggregate crosses (TimelinesAggregationConfigDetails:
+    # user×author with full metrics, user×author out-of-network, and the
+    # user×{engager,mention,original-author,topic,list,day-of-week,hour}
+    # keyed groups — the reference's big feature mass)
+    for label in ENGAGEMENT_LABELS:
+        for metric in TWEET_AGG_METRICS:
+            for hl in AGG_HALFLIFE_NAMES:
+                schema.append(
+                    FeatureSpec(f"user_author_agg_{label}_{metric}_{hl}"))
+    for prefix in PAIR_AGG_PREFIXES:
+        for label in ENGAGEMENT_LABELS:
+            for hl in AGG_HALFLIFE_NAMES:
+                schema.append(FeatureSpec(f"{prefix}_{label}_count_{hl}"))
     # USS signal counts per signal type (UserSignalService, 17 types)
     for sig in user_signals.SignalType:
         schema.append(FeatureSpec(f"uss_{sig.name.lower()}_count_90d"))

@@ -210,22 +210,36 @@ def make_aggregate_group(name: str) -> aggregation.AggregateGroup:
 class DecayedAggregatesColumnarHydrator(fs.ColumnarFeatureHydrator):
     """Decayed aggregate rollups read from the aggregation framework.
 
-    ``key`` selects the entity: per-tweet (count/sum/mean), per-author or
-    per-viewer (count only, broadcast for viewer). Column order inside the
+    ``key`` selects the entity: per-tweet (count/sum/mean), per-author,
+    per-viewer (broadcast), or a pair/keyed cross — "viewer_author",
+    "viewer_original_author", "viewer_engager", "viewer_mention",
+    "viewer_topic" (candidate-feature second key), "viewer_list" (query
+    key), "viewer_dow"/"viewer_hour" (request-time key) — matching the
+    TimelinesAggregationConfigDetails keyed groups. Column order inside the
     store row follows :func:`aggregation._layout` for
     ``features=('engagement',)``: ``col = (label*2 + metric)*4 + hl``.
     """
+
+    _PAIR_FEATURE_KEYS = {
+        "viewer_author": "author_id",
+        "viewer_original_author": "original_author_id",
+        "viewer_engager": "engager_id",
+        "viewer_mention": "mentioned_user_id",
+        "viewer_topic": "topic_id",
+    }
 
     def __init__(
         self,
         group: aggregation.AggregateGroup,
         store: aggregation.AggregateStore,
         resolver: aggregation.KeyResolver,
-        key: str,  # "tweet" | "author" | "viewer"
-        prefix: str,  # "tweet_agg" | "author_agg" | "user_agg"
+        key: str,
+        prefix: str,  # "tweet_agg" | "author_agg" | "user_agg" | pair prefix
         with_mean: bool = False,
     ):
-        assert key in ("tweet", "author", "viewer")
+        assert key in ("tweet", "author", "viewer", "viewer_list",
+                       "viewer_dow", "viewer_hour",
+                       *self._PAIR_FEATURE_KEYS)
         self._group = group
         self._store = store
         self._resolver = resolver
@@ -238,12 +252,30 @@ class DecayedAggregatesColumnarHydrator(fs.ColumnarFeatureHydrator):
         return f"DecayedAggregatesColumnarHydrator[{self._prefix}]"
 
     def hydrate_columns(self, query, ids, candidates, params):
+        uid = int(getattr(query, "user_id", 0))
+        now = int(getattr(query, "now", 0))
         if self._key == "tweet":
             keys = [(int(i),) for i in ids]
         elif self._key == "author":
             keys = [(int(a),) for a in _author_ids(candidates)]
-        else:
-            keys = [(int(query.user_id),)]
+        elif self._key == "viewer":
+            keys = [(uid,)]
+        elif self._key == "viewer_list":
+            keys = [(uid, int(getattr(query, "list_id", -1) or -1))]
+        elif self._key == "viewer_dow":
+            keys = [(uid, (now // 86400) % 7)]
+        elif self._key == "viewer_hour":
+            keys = [(uid, (now // 3600) % 24)]
+        else:  # pair keyed on a per-candidate feature
+            feat = self._PAIR_FEATURE_KEYS[self._key]
+            default = ("author_id" if self._key == "viewer_original_author"
+                       else None)
+            keys = []
+            for c in candidates:
+                second = c.features.get(feat)
+                if second is None and default is not None:
+                    second = c.features.get(default)
+                keys.append((uid, int(second) if second is not None else -1))
         # read path: never allocate — unknown keys read as zero rows
         rows = self._resolver.lookup(keys)
         known = rows >= 0
@@ -256,7 +288,7 @@ class DecayedAggregatesColumnarHydrator(fs.ColumnarFeatureHydrator):
             )
         )  # [len(keys), L*2*H]
         block = np.where(known[:, None], block, 0.0)
-        if self._key == "viewer":
+        if len(keys) == 1 and ids.shape[0] != 1:  # query-keyed → broadcast
             block = np.broadcast_to(block[0], (ids.shape[0], block.shape[1]))
         H = len(_AGG_HL)
         cols: Dict[str, np.ndarray] = {}
@@ -410,9 +442,33 @@ def build_wide_hydrators(
     tweepcred,
     author_meta,
     followers_of_viewer_fn=None,
+    pair_aggs: Optional[Mapping[str, Tuple]] = None,
 ) -> List[fs.ColumnarFeatureHydrator]:
-    """All hydrators needed to populate the full WIDE_SCHEMA."""
-    return [
+    """All hydrators needed to populate the full WIDE_SCHEMA.
+
+    ``pair_aggs``: prefix → (store, resolver) for the keyed crosses
+    ("user_author_agg" + :data:`feature_schema.PAIR_AGG_PREFIXES`).
+    """
+    pair_hydrators: List[fs.ColumnarFeatureHydrator] = []
+    if pair_aggs:
+        key_of = {
+            "user_author_agg": "viewer_author",
+            "user_author_oon_agg": "viewer_author",
+            "user_engager_agg": "viewer_engager",
+            "user_mention_agg": "viewer_mention",
+            "user_original_author_agg": "viewer_original_author",
+            "user_topic_agg": "viewer_topic",
+            "user_list_agg": "viewer_list",
+            "user_dow_agg": "viewer_dow",
+            "user_hour_agg": "viewer_hour",
+        }
+        for prefix, (store, resolver) in pair_aggs.items():
+            pair_hydrators.append(DecayedAggregatesColumnarHydrator(
+                make_aggregate_group(prefix), store, resolver,
+                key=key_of[prefix], prefix=prefix,
+                with_mean=(prefix == "user_author_agg"),
+            ))
+    return pair_hydrators + [
         EarlybirdDocColumnarHydrator(doc_fn),
         RealGraphColumnarHydrator(realgraph_table, realgraph_params),
         TwhinColumnarHydrator(twhin_user, twhin_author, twhin_tweet),
@@ -524,12 +580,15 @@ def synthetic_world(
         return rng.normal(0, 1, (n, k)).astype(np.float32)
 
     # aggregate stores with synthetic event history
-    def agg_fixture(prefix: str, n_keys: int):
+    def agg_fixture(prefix: str, n_keys: int, key_fn=None):
         group = make_aggregate_group(prefix)
         store = aggregation.init_store(group, capacity=n_keys + 8)
         resolver = aggregation.KeyResolver(capacity=n_keys + 8)
         B = n_keys * 2
-        keys = [(int(k),) for k in rng.integers(0, n_keys, B)]
+        if key_fn is None:
+            keys = [(int(k),) for k in rng.integers(0, n_keys, B)]
+        else:
+            keys = [key_fn(i) for i in range(B)]
         rows = resolver.resolve(keys)
         fv = rng.random((B, 1)).astype(np.float32)
         lv = (rng.random((B, len(fs.ENGAGEMENT_LABELS))) < 0.3).astype(np.float32)
@@ -570,8 +629,33 @@ def synthetic_world(
         axis=1,
     ).astype(np.float32)
 
+    # pair/keyed crosses: bounded key pools so fixtures stay small
+    def _pair_pool(second_max):
+        pool = [(int(rng.integers(0, num_users)),
+                 int(rng.integers(0, second_max))) for _ in range(24)]
+        return lambda i: pool[i % len(pool)]
+
+    pair_aggs = {
+        "user_author_agg": agg_fixture(
+            "user_author_agg", 32, _pair_pool(num_authors)),
+        "user_author_oon_agg": agg_fixture(
+            "user_author_oon_agg", 32, _pair_pool(num_authors)),
+        "user_engager_agg": agg_fixture(
+            "user_engager_agg", 32, _pair_pool(num_users)),
+        "user_mention_agg": agg_fixture(
+            "user_mention_agg", 32, _pair_pool(num_users)),
+        "user_original_author_agg": agg_fixture(
+            "user_original_author_agg", 32, _pair_pool(num_authors)),
+        "user_topic_agg": agg_fixture(
+            "user_topic_agg", 32, _pair_pool(16)),
+        "user_list_agg": agg_fixture("user_list_agg", 32, _pair_pool(4)),
+        "user_dow_agg": agg_fixture("user_dow_agg", 32, _pair_pool(7)),
+        "user_hour_agg": agg_fixture("user_hour_agg", 32, _pair_pool(24)),
+    }
+
     return dict(
         doc_fn=doc_fn,
+        pair_aggs=pair_aggs,
         realgraph_table=rg_table,
         realgraph_params=rg_params,
         twhin_user=table(num_users, 64),
