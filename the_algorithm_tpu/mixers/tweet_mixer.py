@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 from the_algorithm_tpu.core.config import Params
@@ -65,11 +66,16 @@ class TweetMixer:
         engines: Sequence[CandidateSource],
         max_results: int = 400,
         cache_ttl_s: float = 600.0,
+        max_concurrency: int = 8,
     ):
         self.engines = list(engines)
         self.max_results = max_results
         self.cache_ttl_s = cache_ttl_s
         self._cache: Dict[Any, _CacheEntry] = {}
+        # parallel engine fan-out (≡ the Finagle Future.collect over
+        # similarity engines); device dispatch + tunnel I/O release the GIL
+        self._pool = (ThreadPoolExecutor(max_workers=max_concurrency)
+                      if max_concurrency > 1 else None)
 
     def get_candidates(
         self, query, params: Params = Params(), cache_key=None
@@ -80,12 +86,17 @@ class TweetMixer:
             if hit and hit.expires_at > now:
                 return list(hit.candidates)
 
-        per_engine: List[List[Candidate]] = []
-        for engine in self.engines:
+        def fetch(engine) -> List[Candidate]:
             try:
-                per_engine.append(engine.get(query, params))
+                return engine.get(query, params)
             except Exception:
-                per_engine.append([])  # engine fail-open
+                return []  # engine fail-open
+
+        if self._pool is not None and len(self.engines) > 1:
+            # futures keep engine order — blending stays deterministic
+            per_engine = list(self._pool.map(fetch, self.engines))
+        else:
+            per_engine = [fetch(e) for e in self.engines]
         blended = interleave_blend(per_engine, self.max_results)
 
         if cache_key is not None:
