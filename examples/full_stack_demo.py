@@ -181,6 +181,48 @@ def main():
     print(f"Wide For You: {len(wout.candidates)} candidates scored over "
           f"{fs.total_width(fs.WIDE_SCHEMA)} columnar features")
     assert wout.candidates and not wout.failures
+
+    # -- product surface: For You full mixer + chron products ----------------
+    from the_algorithm_tpu.mixers import home_products as hp
+    from the_algorithm_tpu.mixers.follow_recommendations import (
+        RecommendationFlow,
+    )
+    from the_algorithm_tpu.pipeline.component import Candidate
+    from the_algorithm_tpu.pipeline.mixer import EntryKind
+
+    wtf = RecommendationFlow(
+        sources=[lambda req: [Candidate(id=5000 + i, score=1.0 - 0.1 * i)
+                              for i in range(4)]],
+        predicates=[],
+    )
+    fy = hp.build_for_you_mixer(
+        scored_tweets_pipeline=pipeline, wtf_flow=wtf,
+        ads=[Candidate(id=9001), Candidate(id=9002)],
+    )
+    tl = fy.run(home_mixer.ForYouQuery(user_id=user, max_results=15,
+                                       now=10**6))
+    kinds = [e.kind.value for e in tl.entries]
+    print(f"For You mixer: {len(tl.entries)} entries "
+          f"({kinds.count('tweet')} tweets, {kinds.count('module')} modules, "
+          f"{kinds.count('ad')} ads)")
+    assert EntryKind.MODULE.value in kinds and EntryKind.AD.value in kinds
+
+    registry = hp.HomeProductPipelineRegistry()
+    registry.register("for_you", fy)
+    registry.register("following", hp.build_following_pipeline(
+        index=ebi, wtf_flow=wtf))
+    registry.register("subscribed", hp.build_subscribed_pipeline(index=ebi))
+    registry.register("list_tweets", hp.build_list_tweets_pipeline(
+        index=ebi, list_members={1: list(range(4))}))
+    fq = hp.TimelineQuery(user_id=3, followed_authors=list(range(8)),
+                          max_results=10, now=10**6)
+    ftl = registry.get("following").run(fq)
+    ltl = registry.get("list_tweets").run(
+        hp.TimelineQuery(user_id=3, list_id=1, max_results=10, now=10**6))
+    print(f"products: {registry.products()}; Following={len(ftl.entries)} "
+          f"entries (cursors {ftl.top_cursor}..{ftl.bottom_cursor}), "
+          f"ListTweets={len(ltl.entries)} entries")
+    assert ftl.entries and ltl.entries
     print("FULL STACK OK")
 
 
