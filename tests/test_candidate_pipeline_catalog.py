@@ -139,7 +139,7 @@ def make_world():
         control_ai_topic_index=_cluster_index(base=1100),
         haplolite_store={"us": [(1201, 0.9), (1202, 0.5)]},
         video_tweet_ids=np.asarray([801, 802, 803], np.int32),
-        curated_tls_authors={"en": [(1301, 1.0)]},
+        curated_tls_authors={"en": [2]},  # author ids, resolved via earlybird
         pinned_tweet_author_fn=lambda t: int(t) % 8,
         producer_embedding_by_id_fn=lambda a: _emb((int(a) % 4,)),
     )
@@ -268,10 +268,25 @@ class TestRoundTwoSpecs:
     def test_curated_tls_language_routing(self):
         names = {p.source.name for p in cat.enabled_pipelines(
             CATALOG, Query(language_code="en"), Params())}
-        assert "CuratedUserTlsPerLangauge" in names
+        assert "CuratedUserTlsPerLanguage" in names
         names = {p.source.name for p in cat.enabled_pipelines(
             CATALOG, Query(), Params())}
-        assert "CuratedUserTlsPerLangauge" not in names
+        assert "CuratedUserTlsPerLanguage" not in names
+
+    def test_curated_tls_resolves_authors_to_tweets(self):
+        # the store holds AUTHOR ids; the source must resolve them to that
+        # author's recent tweets through the earlybird index, newest first
+        pipes = cat.enabled_pipelines(
+            CATALOG, Query(language_code="en"), Params())
+        src = next(p.source for p in pipes
+                   if p.source.name == "CuratedUserTlsPerLanguage")
+        got = src.get(Query(language_code="en"), Params())
+        assert got
+        # fixture ingests tweets 900..907 with author 2 + (i % 2):
+        # author 2 wrote the even ones
+        assert {c.id for c in got} == {900, 902, 904, 906}
+        assert [c.id for c in got] == sorted(
+            (c.id for c in got), reverse=True)
 
     def test_trends_video_restricted_to_video_corpus(self):
         pipes = cat.enabled_pipelines(CATALOG, Query(trend_id=0), Params())

@@ -59,6 +59,35 @@ class TestFollowing:
         ids2 = pipe.run(q2).tweet_ids()
         assert all(i > 2005 for i in ids2)
 
+    def test_newest_win_when_matches_exceed_fetch_window(self):
+        # many more in-network tweets than max_results: the recency-ranked
+        # fetch + id-window pushdown must return the NEWEST page, never an
+        # engagement-ranked subset that drops fresh tweets
+        cfg = eb.EarlybirdConfig(capacity=64, max_tokens=4)
+        index = eb.init_index(cfg)
+        n = 40
+        toks = jnp.asarray(
+            np.stack([eb.tokenize(f"tweet number {i}", 4) for i in range(n)]))
+        authors = jnp.full((n,), 11, jnp.int32)
+        ts = jnp.asarray(np.arange(100, 100 + n * 10, 10), jnp.int32)
+        feats = np.zeros((n, len(eb.DOC_FEATURES)), np.float32)
+        # give OLD tweets huge engagement counts — a relevance-ranked fetch
+        # would surface these instead of the newest
+        feats[: n // 2, eb.DOC_FEATURE_INDEX["fav_count"]] = 1e6
+        index = eb.ingest(index, toks, authors, ts,
+                          jnp.asarray(feats),
+                          jnp.asarray(np.arange(2001, 2001 + n), jnp.int32))
+        pipe = hp.build_following_pipeline(index=index)
+        q = hp.TimelineQuery(user_id=10, followed_authors=[11], max_results=5)
+        ids = pipe.run(q).tweet_ids()
+        assert ids == [2040, 2039, 2038, 2037, 2036]
+        # a bottom-cursor page is complete and contiguous, not starved by
+        # the dropped newest tweets
+        q2 = hp.TimelineQuery(user_id=10, followed_authors=[11],
+                              max_id=2036, max_results=5)
+        ids2 = pipe.run(q2).tweet_ids()
+        assert ids2 == [2035, 2034, 2033, 2032, 2031]
+
     def test_wtf_module_at_fixed_position(self):
         index = make_index()
         flow = RecommendationFlow(
@@ -204,14 +233,21 @@ class TestMixerSelectors:
                                         "who_to_follow").select(None, entries, None)
         assert out[-1].kind == EntryKind.MODULE
 
-    def test_ads_append_when_stream_short(self):
+    def test_ads_dropped_when_stream_short(self):
+        # unplaceable ads are DROPPED, never appended back-to-back at the
+        # tail (the reference AdsInjector drops rather than violate spacing)
         ads = [TimelineEntry(kind=EntryKind.AD, candidate=Candidate(id=70 + i))
                for i in range(3)]
         tweets = [TimelineEntry(kind=EntryKind.TWEET, candidate=Candidate(id=i))
                   for i in range(3)]
         out = InsertAdResults(min_spacing=2, first_position=1).select(
             None, tweets + ads, None)
-        assert len(out) == 6  # nothing lost
+        n_ads = sum(1 for e in out if e.kind == EntryKind.AD)
+        assert n_ads == 1  # only the first ad fits the spacing slots
+        assert sum(1 for e in out if e.kind == EntryKind.TWEET) == 3
+        # never two consecutive ads
+        for a, b in zip(out, out[1:]):
+            assert not (a.kind == EntryKind.AD and b.kind == EntryKind.AD)
 
     def test_pipeline_fail_open(self):
         from the_algorithm_tpu.pipeline.component import (

@@ -195,6 +195,51 @@ class ExpansionSource(CandidateSource):
         return out
 
 
+class AuthorAllowListSource(CandidateSource):
+    """Recency-ranked earlybird fetch restricted to a stored author
+    allow-list (the curated per-language author timelines hold *author*
+    ids, which must be resolved to their recent tweets through the index —
+    a match-all recency query with the author-accept-list operand, like
+    ``FollowingEarlybirdQueryTransformer``)."""
+
+    def __init__(self, index, authors_fn: Callable[[Any], Sequence[int]],
+                 name: str, max_results: int = 200):
+        self._index = index
+        self._authors_fn = authors_fn
+        self._name = name
+        self._max = max_results
+
+    @property
+    def name(self):
+        return self._name
+
+    def get(self, query, params) -> List[Candidate]:
+        from the_algorithm_tpu.ops.sparse import PAD_ID
+        from the_algorithm_tpu.search import earlybird
+
+        authors = sorted(set(int(a) for a in (self._authors_fn(query) or ())))
+        if not authors:
+            return []
+        q = earlybird.SearchQuery(
+            tokens=jnp.full((1,), int(PAD_ID), jnp.int32),  # match-all
+            require_all=True,
+            min_ts=jnp.asarray(0, jnp.int32),
+            max_ts=jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32),
+            followed_authors=jnp.asarray(authors, jnp.int32),
+        )
+        ids, _ = earlybird.search(
+            self._index, q, max_results=self._max, rank_by="recency")
+        out = []
+        for rank, tid in enumerate(np.asarray(ids)):
+            tid = int(tid)
+            if tid == int(PAD_ID):
+                continue
+            score = 1.0 / (1.0 + rank)
+            out.append(Candidate(id=tid, score=score, source=self._name,
+                                 features={"retrieval_score": score}))
+        return out
+
+
 class ListStoreSource(CandidateSource):
     """Host-side keyed list store → candidates (the Haplolite popular-by-
     country store and the curated per-language author timelines are plain
@@ -528,9 +573,10 @@ def catalog_specs() -> List[PipelineSpec]:
               "Haplolite")),
         S("curated_user_tls_per_language", "curated", ("language",),
           ("curated_tls_authors", "earlybird_index"),
-          lambda w: ListStoreSource(
+          lambda w: AuthorAllowListSource(
+              w.earlybird_index,
               lambda q: w.curated_tls_authors.get(q.language_code),
-              "CuratedUserTlsPerLangauge")),
+              "CuratedUserTlsPerLanguage")),
         # -- pinned-tweet related creators
         S("pinned_tweet_related_creator", "simclusters",
           ("pinned_tweet",),

@@ -90,15 +90,23 @@ class AuthorListEarlybirdSource(CandidateSource):
         if not authors:
             return []
         follows = jnp.asarray(sorted(set(int(a) for a in authors)), jnp.int32)
+        # the cursor window is pushed INTO the index scan (SINCE_ID/MAX_ID
+        # operands) and the fetch ranks by recency, so the newest matching
+        # tweets are never crowded out of the result window by older ones
+        # (rankingMode=Recency, ``FollowingEarlybirdQueryTransformer``)
         q = earlybird.SearchQuery(
             tokens=jnp.full((1,), int(PAD_ID), jnp.int32),  # match-all
             require_all=True,
             min_ts=jnp.asarray(0, jnp.int32),
             max_ts=jnp.asarray(query.now, jnp.int32),
             followed_authors=follows,
+            min_id=(None if query.since_id is None
+                    else jnp.asarray(int(query.since_id), jnp.int32)),
+            max_id=(None if query.max_id is None
+                    else jnp.asarray(int(query.max_id), jnp.int32)),
         )
-        ids, _ = earlybird.search(self.index, q,
-                                  max_results=max(query.max_results * 2, 8))
+        ids, _ = earlybird.search(self.index, q, rank_by="recency",
+                                  max_results=max(query.max_results, 8))
         ids = np.asarray(ids)
         ts = np.asarray(self.index.created_ts)
         tid_arr = np.asarray(self.index.tweet_ids)
@@ -108,10 +116,6 @@ class AuthorListEarlybirdSource(CandidateSource):
         for tid in ids:
             tid = int(tid)
             if tid == int(PAD_ID):
-                continue
-            if query.since_id is not None and tid <= query.since_id:
-                continue
-            if query.max_id is not None and tid >= query.max_id:
                 continue
             i = pos[tid]
             out.append(Candidate(
@@ -401,12 +405,17 @@ class _NullSource(CandidateSource):
 
 
 class _DropMaxFromQuery(DropMaxEntries):
+    """Max-results truncation read from the query, statelessly — selector
+    instances are shared by every request running through one pipeline, so
+    the limit must never be written onto ``self`` (a write would race
+    concurrent ``run()`` calls and truncate one request with another's
+    ``max_results``)."""
+
     def __init__(self):
         super().__init__(0)
 
     def select(self, query, entries, params):
-        self.max_entries = query.max_results
-        return super().select(query, entries, params)
+        return entries[: query.max_results]
 
 
 # -- For You full mixer ---------------------------------------------------------

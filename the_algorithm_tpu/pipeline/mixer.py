@@ -199,7 +199,9 @@ class InsertAdResults(EntrySelector):
                 ai += 1
                 next_slot = len(out) + self.min_spacing
             out.append(e)
-        out.extend(ads[ai:])
+        # ads that found no spacing-respecting slot are dropped, never
+        # appended back-to-back at the tail (the reference AdsInjector drops
+        # unplaceable ads rather than violating min_spacing)
         return out
 
 
@@ -212,12 +214,22 @@ class DropMaxModuleItemCandidates(EntrySelector):
         self.module_kind = module_kind
 
     def select(self, query, entries, params):
+        out = []
         for e in entries:
             if e.module is not None and (
                 self.module_kind is None or e.module.kind == self.module_kind
-            ):
-                e.module.items = e.module.items[: self.max_items]
-        return entries
+            ) and len(e.module.items) > self.max_items:
+                # rebuild rather than truncate in place — module objects may
+                # be shared with the source pipeline's own result lists
+                out.append(dataclasses.replace(
+                    e,
+                    module=dataclasses.replace(
+                        e.module, items=e.module.items[: self.max_items]
+                    ),
+                ))
+            else:
+                out.append(e)
+        return out
 
 
 class DropModuleTooFewItems(EntrySelector):
@@ -280,7 +292,12 @@ class MixerPipeline:
         for qh in self.query_hydrators:
             feats = qh.hydrate(query, params)
             if feats:
-                getattr(query, "features", {}).update(feats)
+                if getattr(query, "features", None) is None:
+                    # never .update() an anonymous default — hydrated
+                    # features would be silently discarded
+                    query.features = dict(feats)
+                else:
+                    query.features.update(feats)
 
         entries: List[TimelineEntry] = []
         instructions: List[Instruction] = []

@@ -216,6 +216,11 @@ class SearchQuery(NamedTuple):
     # quoted phrases: [Pn, Pl] int32, PAD padded rows; every non-empty
     # phrase must appear as consecutive tokens
     phrases: Optional[jnp.ndarray] = None
+    # tweet-id cursor window (exclusive), pushed into the index scan like
+    # Earlybird's SINCE_ID/MAX_ID operators
+    # (``FollowingEarlybirdQueryTransformer.scala:40-52``); None ⇒ open end
+    min_id: Optional[jnp.ndarray] = None  # [] int32 — ids strictly greater
+    max_id: Optional[jnp.ndarray] = None  # [] int32 — ids strictly smaller
 
 
 def phrase_match(tokens: jnp.ndarray, phrases: jnp.ndarray) -> jnp.ndarray:
@@ -294,6 +299,10 @@ def match_mask(index: EarlybirdIndex, query: SearchQuery) -> Tuple[jnp.ndarray, 
         & (index.created_ts >= query.min_ts)
         & (index.created_ts <= query.max_ts)
     )
+    if query.min_id is not None:
+        ok &= index.tweet_ids > query.min_id
+    if query.max_id is not None:
+        ok &= index.tweet_ids < query.max_id
     if query.followed_authors is not None:
         ok &= _author_in_set(index.author, query.followed_authors)
     return ok, jnp.sum(hit, axis=1) / n_q
@@ -307,6 +316,7 @@ def search(
     relevance: Optional[RelevanceParams] = None,
     model_score_fn=None,
     extra_mask: Optional[jnp.ndarray] = None,
+    rank_by: str = "relevance",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full-corpus scan → (tweet_ids[X], scores[X]).
 
@@ -316,7 +326,21 @@ def search(
     ``TensorflowBasedScoringFunction`` plugging the light ranker in-index);
     ``extra_mask`` [T] ANDs caller-side doc filters into the match (e.g.
     the ingester's author-state mask — the collector-level filter hook).
+    ``rank_by="recency"`` orders by created_ts descending — the timeline
+    products' rankingMode=Recency (``FollowingEarlybirdQueryTransformer``),
+    exact integer ordering with no float scoring at all.
     """
+    if rank_by == "recency":
+        ok, _ = match_mask(index, query)
+        if extra_mask is not None:
+            ok = ok & extra_mask
+        sentinel = jnp.iinfo(jnp.int32).min
+        key = jnp.where(ok, index.created_ts, sentinel)
+        k = min(max_results, key.shape[0])
+        top_ts, idx = jax.lax.top_k(key, k)
+        found = top_ts > sentinel
+        ids = jnp.where(found, index.tweet_ids[idx], PAD_ID)
+        return ids, jnp.where(found, top_ts.astype(jnp.float32), -jnp.inf)
     if relevance is None:
         relevance = default_relevance_params()
     ok, overlap = match_mask(index, query)
@@ -348,6 +372,7 @@ def search_sharded(
     max_results: int,
     relevance: Optional[RelevanceParams] = None,
     model_score_fn=None,
+    rank_by: str = "relevance",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Partitioned scan + root merge (≡ ``earlybird_root`` fan-out).
 
@@ -364,7 +389,7 @@ def search_sharded(
         )
         ids, scores = search(
             li, query, max_results=X, relevance=relevance,
-            model_score_fn=model_score_fn,
+            model_score_fn=model_score_fn, rank_by=rank_by,
         )
         all_ids = jax.lax.all_gather(ids, MODEL_AXIS, axis=0, tiled=True)
         all_scores = jax.lax.all_gather(scores, MODEL_AXIS, axis=0, tiled=True)
