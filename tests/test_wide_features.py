@@ -15,8 +15,10 @@ from the_algorithm_tpu.pipeline.component import (
 
 
 class TestSchema:
-    def test_width_at_least_1000(self):
-        assert fs.total_width(fs.WIDE_SCHEMA) >= 1000
+    def test_width_at_reference_prod_width(self):
+        # the reference hydrates ~6000 features per candidate
+        # (home-mixer/README.md:22-24) — the serve schema must match
+        assert fs.total_width(fs.WIDE_SCHEMA) >= 6000
 
     def test_flat_names_unique(self):
         names = fs.expand(fs.WIDE_SCHEMA)

@@ -98,36 +98,39 @@ def update(
     contributions (events within the batch are treated as simultaneous at
     batch time — the realtime Heron job's micro-batching semantics).
     """
-    col = _layout(group)
     now = jnp.max(timestamps)
     B = row_ids.shape[0]
     F, L = len(group.features), len(group.labels)
+    M, H = len(group.metrics), len(group.half_lives_s)
 
-    # build per-event contribution matrix [B, n_outputs]
-    contrib = jnp.zeros((B, group.n_outputs), jnp.float32)
-    is_max = jnp.zeros((group.n_outputs,), bool)
-    for f in range(F):
-        x = feature_values[:, f]
-        for l in range(L):
-            gate = label_values[:, l]
-            for m, metric in enumerate(group.metrics):
-                if metric == "count":
-                    v = gate
-                elif metric == "sum":
-                    v = x * gate
-                elif metric == "sumsq":
-                    v = x * x * gate
-                elif metric == "max":
-                    v = x * gate
-                else:
-                    # LatestMetric/LastResetMetric need set-semantics that
-                    # conflict with batched scatter; not yet supported
-                    raise ValueError(f"unsupported metric {metric}")
-                for h in range(len(group.half_lives_s)):
-                    c = col(f, l, m, h)
-                    contrib = contrib.at[:, c].set(v)
-                    if metric == "max":
-                        is_max = is_max.at[c].set(True)
+    # per-(feature, metric) event values [B, F, M], gated per label and
+    # broadcast over half-lives — one einsum instead of a per-column loop
+    # (layout col = ((f*L + l)*M + m)*H + h matches _layout)
+    base_cols = []
+    for metric in group.metrics:
+        if metric == "count":
+            base_cols.append(jnp.ones_like(feature_values))
+        elif metric == "sum":
+            base_cols.append(feature_values)
+        elif metric == "sumsq":
+            base_cols.append(feature_values * feature_values)
+        elif metric == "max":
+            base_cols.append(feature_values)
+        else:
+            # LatestMetric/LastResetMetric need set-semantics that
+            # conflict with batched scatter; not yet supported
+            raise ValueError(f"unsupported metric {metric}")
+    base = jnp.stack(base_cols, axis=-1)  # [B, F, M]
+    gated = jnp.einsum("bfm,bl->bflm", base, label_values)  # [B, F, L, M]
+    contrib = jnp.broadcast_to(
+        gated[..., None], (B, F, L, M, H)
+    ).reshape(B, group.n_outputs)
+    is_max_m = np.asarray([m == "max" for m in group.metrics])
+    is_max = jnp.asarray(
+        np.broadcast_to(
+            is_max_m[None, None, :, None], (F, L, M, H)
+        ).reshape(group.n_outputs)
+    )
 
     # decay touched rows to `now` per half-life column
     hl_cols = jnp.asarray(

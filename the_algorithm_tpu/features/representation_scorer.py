@@ -43,38 +43,59 @@ class EngagementSet(NamedTuple):
     valid: jnp.ndarray  # [E] bool
 
 
+# similarity kinds computed per (signal, window) block; "cosine" keeps the
+# bare legacy names, the others prefix with the kind — the reference's
+# per-similarity-type score stores
+# (``SimClustersEmbeddingPairScoreStore.build{DotProduct,CosineSimilarity,
+# LogCosineSimilarity}Store``, ``score/ScoreStore.scala``)
+SIMILARITY_KINDS = ("cosine", "dot", "log_cosine", "euclidean")
+_KIND_FNS = {
+    "cosine": sparse.cosine,
+    "dot": sparse.dot,
+    "log_cosine": sparse.log_norm_cosine,
+    "euclidean": sparse.euclidean,
+}
+
+
 def engagement_similarity_features(
     candidates: SparseEmbedding,  # [C, K]
     engagements: EngagementSet,
     now: jnp.ndarray,
+    kinds: Tuple[str, ...] = ("cosine",),
 ) -> Dict[str, jnp.ndarray]:
-    """→ {f"{signal}_{window}_{agg}": [C]} feature block.
+    """→ {f"[{kind}_]{signal}_{window}_{agg}": [C]} feature block.
 
     agg ∈ {min, avg, max} over the user's engagement tweets of that signal
-    type within the window — ≡ SimClustersRecentEngagementSimilarities.
+    type within the window — ≡ SimClustersRecentEngagementSimilarities;
+    ``kinds`` selects the pairwise similarity families (cosine emits the
+    bare legacy names).
     """
-    sim = sparse.pairwise_cosine_matrix(candidates, engagements.embeddings)  # [C, E]
-
     out: Dict[str, jnp.ndarray] = {}
     age = now - engagements.timestamp
-    for w_name, w_secs in WINDOWS_S.items():
-        in_window = engagements.valid & (age <= w_secs)
-        for s_idx, s_name in enumerate(SIGNAL_TYPES):
-            m = in_window & (engagements.signal_type == s_idx)  # [E]
-            mf = m.astype(jnp.float32)[None, :]
-            count = jnp.sum(mf, axis=1)  # [C] (same for all C)
-            has = count > 0
-            s_masked = jnp.where(m[None, :], sim, jnp.nan)
-            out[f"{s_name}_{w_name}_avg"] = jnp.where(
-                has, jnp.nansum(jnp.where(m[None, :], sim, 0.0), axis=1)
-                / jnp.maximum(count, 1.0), 0.0
-            )
-            out[f"{s_name}_{w_name}_max"] = jnp.where(
-                has, jnp.nanmax(jnp.where(m[None, :], sim, -jnp.inf), axis=1), 0.0
-            )
-            out[f"{s_name}_{w_name}_min"] = jnp.where(
-                has, jnp.nanmin(jnp.where(m[None, :], sim, jnp.inf), axis=1), 0.0
-            )
+    for kind in kinds:
+        sim = sparse.pairwise_matrix(
+            _KIND_FNS[kind], candidates, engagements.embeddings
+        )  # [C, E]
+        prefix = "" if kind == "cosine" else f"{kind}_"
+        for w_name, w_secs in WINDOWS_S.items():
+            in_window = engagements.valid & (age <= w_secs)
+            for s_idx, s_name in enumerate(SIGNAL_TYPES):
+                m = in_window & (engagements.signal_type == s_idx)  # [E]
+                mf = m.astype(jnp.float32)[None, :]
+                count = jnp.sum(mf, axis=1)  # [C] (same for all C)
+                has = count > 0
+                out[f"{prefix}{s_name}_{w_name}_avg"] = jnp.where(
+                    has, jnp.sum(jnp.where(m[None, :], sim, 0.0), axis=1)
+                    / jnp.maximum(count, 1.0), 0.0
+                )
+                out[f"{prefix}{s_name}_{w_name}_max"] = jnp.where(
+                    has, jnp.max(jnp.where(m[None, :], sim, -jnp.inf), axis=1),
+                    0.0
+                )
+                out[f"{prefix}{s_name}_{w_name}_min"] = jnp.where(
+                    has, jnp.min(jnp.where(m[None, :], sim, jnp.inf), axis=1),
+                    0.0
+                )
     return out
 
 

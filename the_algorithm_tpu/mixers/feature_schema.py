@@ -51,59 +51,129 @@ class ColumnarFeatureStore:
     filters shrink or reorder the candidate list between hydration and
     scoring (the engine runs globalFilters after hydration,
     ``RecommendationPipelineConfig.scala:57-201``).
+
+    Storage is *block-wise* — each ``add()`` call stores ONE [N, W] matrix
+    plus a name→column-range index, so assembling a ~6,000-wide schema
+    costs one id-alignment (searchsorted) per hydrator block and one
+    contiguous slice per run of schema columns, not one gather per column
+    (the segdense densifier's slot-range trick, ``navi/segdense/src/mapper.rs``).
     """
 
     def __init__(self):
-        # name -> (sorted_ids [N], values [N] or [N, K])
-        self._columns: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        # block: (sorted_ids [N], matrix [N, W])
+        self._blocks: List[Tuple[np.ndarray, np.ndarray]] = []
+        # name -> (block_idx, start_col, width)
+        self._name_index: Dict[str, Tuple[int, int, int]] = {}
 
     def add(self, ids: np.ndarray, columns: Mapping[str, np.ndarray]) -> None:
         ids = np.asarray(ids, np.int64)
         order = np.argsort(ids, kind="stable")
         sorted_ids = ids[order]
+        mats: List[np.ndarray] = []
+        start = 0
+        bi = len(self._blocks)
         for name, col in columns.items():
-            col = np.asarray(col)
+            col = np.asarray(col, np.float32)
             if col.shape[0] != ids.shape[0]:
                 raise ValueError(
                     f"column '{name}' has {col.shape[0]} rows for "
                     f"{ids.shape[0]} ids"
                 )
-            self._columns[name] = (sorted_ids, col[order])
+            if col.ndim == 1:
+                col = col[:, None]
+            w = col.shape[1]
+            self._name_index[name] = (bi, start, w)
+            mats.append(col[order])
+            start += w
+        if not mats:
+            return
+        self._blocks.append(
+            (sorted_ids, np.concatenate(mats, axis=1) if len(mats) > 1
+             else mats[0])
+        )
 
     def names(self) -> List[str]:
-        return sorted(self._columns)
+        return sorted(self._name_index)
+
+    def _align(self, block_idx: int, ids: np.ndarray):
+        """(pos [B], found [B]) for gathering block rows by candidate id."""
+        sorted_ids, _ = self._blocks[block_idx]
+        pos = np.searchsorted(sorted_ids, ids)
+        pos = np.clip(pos, 0, sorted_ids.shape[0] - 1)
+        return pos, sorted_ids[pos] == ids
 
     def gather(self, name: str, ids: np.ndarray) -> np.ndarray:
         """Rows for ``ids`` (zeros where absent) — vectorized id-alignment."""
         ids = np.asarray(ids, np.int64)
-        entry = self._columns.get(name)
+        entry = self._name_index.get(name)
         if entry is None:
             return np.zeros((ids.shape[0],), np.float32)
-        sorted_ids, vals = entry
-        pos = np.searchsorted(sorted_ids, ids)
-        pos = np.clip(pos, 0, sorted_ids.shape[0] - 1)
-        found = sorted_ids[pos] == ids
-        out = vals[pos].astype(np.float32, copy=True)
+        bi, start, w = entry
+        pos, found = self._align(bi, ids)
+        vals = self._blocks[bi][1]
+        out = vals[pos, start:start + w].astype(np.float32, copy=True)
         out[~found] = 0.0
-        return out
+        return out[:, 0] if w == 1 else out
 
     def assemble(
         self, ids: np.ndarray, schema: Sequence[FeatureSpec]
     ) -> np.ndarray:
-        """[B, total_width] matrix in schema order (pure numpy)."""
+        """[B, total_width] matrix in schema order (pure numpy).
+
+        Contiguous schema runs that live in the same stored block slice out
+        as ONE fancy-index, so cost scales with the number of hydrator
+        blocks (~20), not the number of columns (~6,000).
+        """
         ids = np.asarray(ids, np.int64)
-        cols: List[np.ndarray] = []
+        B = ids.shape[0]
+        align_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+        def aligned(bi):
+            if bi not in align_cache:
+                align_cache[bi] = self._align(bi, ids)
+            return align_cache[bi]
+
+        pieces: List[np.ndarray] = []
+        run_bi, run_start, run_end = -1, 0, 0  # current contiguous run
+
+        def flush():
+            nonlocal run_bi
+            if run_bi < 0:
+                return
+            pos, found = aligned(run_bi)
+            vals = self._blocks[run_bi][1]
+            seg = vals[pos, run_start:run_end].astype(np.float32, copy=True)
+            seg[~found] = 0.0
+            pieces.append(seg)
+            run_bi = -1
+
         for spec in schema:
-            col = self.gather(spec.name, ids)
-            if col.ndim == 1:
-                col = col[:, None]
-            if col.shape[1] != spec.width:
-                fixed = np.zeros((ids.shape[0], spec.width), np.float32)
-                w = min(spec.width, col.shape[1])
-                fixed[:, :w] = col[:, :w]
-                col = fixed
-            cols.append(col)
-        return np.concatenate(cols, axis=1) if cols else np.zeros((len(ids), 0), np.float32)
+            entry = self._name_index.get(spec.name)
+            if entry is None:
+                flush()
+                pieces.append(np.zeros((B, spec.width), np.float32))
+                continue
+            bi, start, w = entry
+            if w != spec.width:
+                # width mismatch: zero-pad / truncate to the schema width
+                flush()
+                pos, found = aligned(bi)
+                vals = self._blocks[bi][1]
+                got = vals[pos, start:start + w].astype(np.float32, copy=True)
+                got[~found] = 0.0
+                fixed = np.zeros((B, spec.width), np.float32)
+                k = min(spec.width, w)
+                fixed[:, :k] = got[:, :k]
+                pieces.append(fixed)
+                continue
+            if bi == run_bi and start == run_end:
+                run_end = start + w  # extend the contiguous run
+            else:
+                flush()
+                run_bi, run_start, run_end = bi, start, start + w
+        flush()
+        return (np.concatenate(pieces, axis=1) if pieces
+                else np.zeros((B, 0), np.float32))
 
 
 # -- columnar hydrator base ----------------------------------------------------
@@ -171,12 +241,23 @@ ENGAGEMENT_LABELS = (
 )
 AGG_HALFLIVES_S = (1800.0, 86400.0, 7 * 86400.0, 50 * 86400.0)
 AGG_HALFLIFE_NAMES = ("30m", "1d", "7d", "50d")
-TWEET_AGG_METRICS = ("count", "sum", "mean")
-# count-only keyed crosses beyond user×author (full-metric)
+# full exposed metric set per (label, half-life): stored count/sum/sumsq/max
+# plus derived mean — the aggregation framework's metric catalog
+# (``metrics/{CountMetric,SumMetric,SumSqMetric,MaxMetric}.scala``)
+AGG_METRICS = ("count", "sum", "mean", "sumsq", "max")
+TWEET_AGG_METRICS = ("count", "sum", "mean")  # legacy alias (pre-r3 subset)
+# keyed crosses beyond user×author — all full-metric now
 PAIR_AGG_PREFIXES = (
     "user_author_oon_agg", "user_engager_agg", "user_mention_agg",
     "user_original_author_agg", "user_topic_agg", "user_list_agg",
     "user_dow_agg", "user_hour_agg",
+)
+# round-3 keyed crosses (TimelinesAggregationConfigDetails keyed groups +
+# realtime v2 variants): author×topic, viewer×{source,language,media,
+# conversation-root}, and the global per-topic rollup
+EXTRA_AGG_PREFIXES = (
+    "author_topic_agg", "user_source_agg", "user_language_agg",
+    "user_media_agg", "user_conversation_agg", "topic_agg",
 )
 AUTHOR_META_FEATURES = (
     "author_follower_count_log", "author_following_count_log",
@@ -188,14 +269,42 @@ CONTEXT_FEATURES = (
 )
 
 
+USS_WINDOW_NAMES = ("90d", "30d", "7d")
+# serving-context blocks (request time-of-day/day-of-week one-hots, client
+# surface one-hot, page/session scalars — the reference's RequestContext /
+# non-ML serving features)
+CONTEXT_CLIENTS = 8
+CONTEXT_SCALARS = (
+    "is_first_page", "refresh_count_log", "session_age_minutes_log",
+    "served_depth",
+)
+
+
+def candidate_source_names() -> List[str]:
+    """Every retrieval source a candidate can carry, for the source one-hot
+    block — catalog pipelines + the in-network / graph / product sources."""
+    from the_algorithm_tpu.mixers import candidate_pipeline_catalog as cpc
+
+    names = [s.name for s in cpc.catalog_specs()]
+    names += [
+        "EarlybirdInNetwork", "DirectUteg", "FollowingEarlybird",
+        "SubscribedEarlybird", "ListTweetsTimelineService", "ads",
+        "ForYouScoredTweets", "backfill", "cached",
+    ]
+    return names
+
+
 def build_wide_schema() -> List[FeatureSpec]:
-    """The default wide heavy-ranker schema (~1k flat features).
+    """The full-width heavy-ranker schema (≥6000 flat features — the
+    reference's prod hydration width, ``home-mixer/README.md:22-24``).
 
     Families mirror the reference hydrator families (feature_hydrator/*):
-    Earlybird doc features, RealGraph edges, TwHIN user/author/tweet,
-    SimClusters engagement similarity (RSX), large user/author embeddings,
-    media CLIP clusters, tweet/author/viewer aggregates, USS signal counts,
-    GFS intersections, social-proof and context features.
+    Earlybird doc features, RealGraph edges, TwHIN user/author/tweet (+
+    negative/follow variants), SimClusters engagement similarity (RSX,
+    four similarity kinds), SimClusters sparse→dense projections, large
+    user/author embeddings, media CLIP clusters, 18 aggregate-framework
+    groups at the full metric catalog, USS signal counts over three
+    windows, GFS intersections, serving-context and source one-hots.
     """
     from the_algorithm_tpu.features import graph_features, user_signals
     from the_algorithm_tpu.features import representation_scorer as rsx
@@ -212,16 +321,25 @@ def build_wide_schema() -> List[FeatureSpec]:
         FeatureSpec("realgraph_score"),
         FeatureSpec("realgraph_p_interaction"),
     ]
-    # twhin embeddings (TwhinUser*/TwhinAuthorFollow hydrators)
+    # twhin embeddings (TwhinUser*/TwhinAuthorFollow/TwhinUserNegative)
     schema.append(FeatureSpec("twhin_user", 64))
     schema.append(FeatureSpec("twhin_author", 64))
     schema.append(FeatureSpec("twhin_tweet", 64))
+    schema.append(FeatureSpec("twhin_user_negative", 64))
+    schema.append(FeatureSpec("twhin_author_follow", 64))
     # RSX engagement-similarity features (SimClustersEngagementSimilarity…):
-    # signal × window × {min,avg,max}, matching representation_scorer's block
-    for sig in rsx.SIGNAL_TYPES:
-        for w in rsx.WINDOWS_S:
-            for agg in ("min", "avg", "max"):
-                schema.append(FeatureSpec(f"rsx_{sig}_{w}_{agg}"))
+    # kind × signal × window × {min,avg,max} (cosine keeps bare names)
+    for kind in rsx.SIMILARITY_KINDS:
+        prefix = "rsx_" if kind == "cosine" else f"rsx_{kind}_"
+        for w in rsx.WINDOWS_S:  # ordered as the RSX kernel emits
+            for sig in rsx.SIGNAL_TYPES:
+                for agg in ("avg", "max", "min"):
+                    schema.append(FeatureSpec(f"{prefix}{sig}_{w}_{agg}"))
+    # simclusters sparse→dense bucket projections (viewer InterestedIn,
+    # candidate tweet embedding — UserSimClusters / TweetSimClusters
+    # hydrator families)
+    schema.append(FeatureSpec("user_simclusters_proj", 64))
+    schema.append(FeatureSpec("tweet_simclusters_proj", 64))
     # large embeddings (user interests / author aggregates)
     schema.append(FeatureSpec("user_interests_emb", 128))
     schema.append(FeatureSpec("author_agg_emb", 128))
@@ -229,35 +347,23 @@ def build_wide_schema() -> List[FeatureSpec]:
     schema.append(FeatureSpec("media_clip_clusters", 64))
     # tweet text embedding (TweetTextEmbedding hydrator family)
     schema.append(FeatureSpec("text_emb", 128))
-    # aggregates: tweet × label × metric × halflife (aggregation framework)
-    for label in ENGAGEMENT_LABELS:
-        for metric in TWEET_AGG_METRICS:
-            for hl in AGG_HALFLIFE_NAMES:
-                schema.append(FeatureSpec(f"tweet_agg_{label}_{metric}_{hl}"))
-    # aggregates: author × label × halflife (count only — the author rollup)
-    for label in ENGAGEMENT_LABELS:
-        for hl in AGG_HALFLIFE_NAMES:
-            schema.append(FeatureSpec(f"author_agg_{label}_count_{hl}"))
-    # aggregates: viewer × label × halflife
-    for label in ENGAGEMENT_LABELS:
-        for hl in AGG_HALFLIFE_NAMES:
-            schema.append(FeatureSpec(f"user_agg_{label}_count_{hl}"))
-    # pair/keyed aggregate crosses (TimelinesAggregationConfigDetails:
-    # user×author with full metrics, user×author out-of-network, and the
-    # user×{engager,mention,original-author,topic,list,day-of-week,hour}
-    # keyed groups — the reference's big feature mass)
-    for label in ENGAGEMENT_LABELS:
-        for metric in TWEET_AGG_METRICS:
-            for hl in AGG_HALFLIFE_NAMES:
-                schema.append(
-                    FeatureSpec(f"user_author_agg_{label}_{metric}_{hl}"))
-    for prefix in PAIR_AGG_PREFIXES:
+    # aggregate framework groups, full metric catalog:
+    # entity rollups (tweet / author / viewer), the user×author cross, the
+    # keyed crosses, and the round-3 groups — every group is
+    # label × {count,sum,mean,sumsq,max} × half-life
+    for prefix in (
+        "tweet_agg", "author_agg", "user_agg", "user_author_agg",
+        *PAIR_AGG_PREFIXES, *EXTRA_AGG_PREFIXES,
+    ):
         for label in ENGAGEMENT_LABELS:
-            for hl in AGG_HALFLIFE_NAMES:
-                schema.append(FeatureSpec(f"{prefix}_{label}_count_{hl}"))
-    # USS signal counts per signal type (UserSignalService, 17 types)
-    for sig in user_signals.SignalType:
-        schema.append(FeatureSpec(f"uss_{sig.name.lower()}_count_90d"))
+            for hl in AGG_HALFLIFE_NAMES:  # ordered as the hydrator emits
+                for metric in AGG_METRICS:
+                    schema.append(
+                        FeatureSpec(f"{prefix}_{label}_{metric}_{hl}"))
+    # USS signal counts per signal type × window (UserSignalService)
+    for w in USS_WINDOW_NAMES:
+        for sig in user_signals.SignalType:
+            schema.append(FeatureSpec(f"uss_{sig.name.lower()}_count_{w}"))
     # graph feature service intersections (canonical GFS pairs + normalized)
     for n in graph_features.FEATURE_PAIRS:
         schema.append(FeatureSpec(n))
@@ -271,6 +377,14 @@ def build_wide_schema() -> List[FeatureSpec]:
     ]
     # retrieval/context scalars lifted from the candidate object model
     schema += [FeatureSpec(n) for n in CONTEXT_FEATURES]
+    # serving context: request-time one-hots + session scalars
+    schema.append(FeatureSpec("ctx_hour_of_day", 24))
+    schema.append(FeatureSpec("ctx_day_of_week", 7))
+    schema.append(FeatureSpec("ctx_client", CONTEXT_CLIENTS))
+    schema += [FeatureSpec(f"ctx_{n}") for n in CONTEXT_SCALARS]
+    # candidate retrieval-source one-hot (the source-attribution block)
+    schema.append(
+        FeatureSpec("source_onehot", len(candidate_source_names())))
     return schema
 
 

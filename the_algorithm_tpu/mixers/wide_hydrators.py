@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, List, Mapping, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -117,49 +118,116 @@ class RealGraphColumnarHydrator(fs.ColumnarFeatureHydrator):
 
 
 class TwhinColumnarHydrator(fs.ColumnarFeatureHydrator):
-    """TwHIN dense embeddings: viewer (broadcast), author, tweet — 3×64."""
+    """TwHIN dense embeddings: viewer (broadcast), author, tweet, plus the
+    negative-interaction viewer embedding and the follow-graph author
+    embedding (≡ TwhinUser{Engagement,Negative}/TwhinAuthorFollow
+    hydrators) — 5×64."""
 
     def __init__(
         self,
         user_table: np.ndarray,  # [U, 64]
         author_table: np.ndarray,  # [A, 64]
         tweet_table: np.ndarray,  # [T, 64]
+        user_negative_table: Optional[np.ndarray] = None,  # [U, 64]
+        author_follow_table: Optional[np.ndarray] = None,  # [A, 64]
     ):
         self._u = np.asarray(user_table, np.float32)
         self._a = np.asarray(author_table, np.float32)
         self._t = np.asarray(tweet_table, np.float32)
+        self._un = (np.asarray(user_negative_table, np.float32)
+                    if user_negative_table is not None else None)
+        self._af = (np.asarray(author_follow_table, np.float32)
+                    if author_follow_table is not None else None)
 
     def hydrate_columns(self, query, ids, candidates, params):
         B = ids.shape[0]
-        u = self._u[int(query.user_id) % self._u.shape[0]]
+        uid = int(query.user_id)
+        u = self._u[uid % self._u.shape[0]]
         authors = _author_ids(candidates) % self._a.shape[0]
         tweets = ids % self._t.shape[0]
-        return {
+        cols = {
             "twhin_user": np.broadcast_to(u, (B, u.shape[0])),
             "twhin_author": self._a[authors],
             "twhin_tweet": self._t[tweets],
         }
+        if self._un is not None:
+            un = self._un[uid % self._un.shape[0]]
+            cols["twhin_user_negative"] = np.broadcast_to(un, (B, un.shape[0]))
+        if self._af is not None:
+            cols["twhin_author_follow"] = self._af[authors % self._af.shape[0]]
+        return cols
+
+
+class SparseProjectionColumnarHydrator(fs.ColumnarFeatureHydrator):
+    """Sparse SimClusters embedding → fixed-width dense bucket projection:
+    ``proj[b] = Σ score over clusters with cluster_id % buckets == b`` — a
+    hash-bucketed densification of the (id, score) pairs, viewer- or
+    tweet-keyed (the UserSimClusters/TweetSimClusters hydrator families)."""
+
+    def __init__(self, name: str, emb_fn, key: str = "tweet",
+                 buckets: int = 64):
+        assert key in ("tweet", "viewer")
+        self._name_ = name
+        self._emb_fn = emb_fn  # ids [B] -> SparseEmbedding | query -> SparseEmbedding
+        self._key = key
+        self._buckets = buckets
+
+    @property
+    def name(self) -> str:
+        return f"SparseProjectionColumnarHydrator[{self._name_}]"
+
+    def hydrate_columns(self, query, ids, candidates, params):
+        B = ids.shape[0]
+        if self._key == "tweet":
+            emb = self._emb_fn(ids)  # [B, K]
+            cl = np.asarray(emb.ids)
+            sc = np.asarray(emb.scores)
+        else:
+            emb = self._emb_fn(query)  # [K]
+            cl = np.asarray(emb.ids)[None, :]
+            sc = np.asarray(emb.scores)[None, :]
+        valid = cl != int(PAD_ID)
+        bucket = np.where(valid, cl % self._buckets, 0)
+        proj = np.zeros((cl.shape[0], self._buckets), np.float32)
+        np.add.at(proj, (np.arange(cl.shape[0])[:, None], bucket),
+                  np.where(valid, sc, 0.0))
+        if self._key == "viewer":
+            proj = np.broadcast_to(proj[0], (B, self._buckets))
+        return {self._name_: proj}
 
 
 class RsxColumnarHydrator(fs.ColumnarFeatureHydrator):
-    """RSX block: cosine(candidate, viewer's recent engagements) aggregated
-    signal × window × {min,avg,max} — 36 columns, one jitted call."""
+    """RSX block: similarity(candidate, viewer's recent engagements) per
+    similarity kind × signal × window × {min,avg,max} — one jitted call.
 
-    def __init__(
-        self,
-        tweet_embedding_fn,  # ids [B] -> SparseEmbedding [B, K]
-        engagement_fn,  # user_id -> rsx.EngagementSet
-    ):
+    ``tweet_embedding_fn``: ids [B] → SparseEmbedding [B, K];
+    ``engagement_fn``: user_id → :class:`rsx.EngagementSet`."""
+
+    _PAD_B = 512  # fixed candidate axis so the block compiles once
+
+    def __init__(self, tweet_embedding_fn, engagement_fn):
         self._emb = tweet_embedding_fn
         self._eng = engagement_fn
+        # one compiled program for the whole kind×signal×window×agg block —
+        # eager dispatch of ~150 small ops per request costs more than the
+        # math (serving-path overhead, not FLOPs)
+        self._jitted = jax.jit(
+            lambda cand, eng, now: rsx.engagement_similarity_features(
+                cand, eng, now, kinds=rsx.SIMILARITY_KINDS))
 
     def hydrate_columns(self, query, ids, candidates, params):
-        cand_emb = self._emb(ids)
+        B = ids.shape[0]
+        PB = self._PAD_B
+        if B <= PB:
+            padded = np.full(PB, -1, np.int64)
+            padded[:B] = ids
+            cand_emb = self._emb(padded)
+        else:
+            cand_emb = self._emb(ids)
         engagements = self._eng(query.user_id)
-        block = rsx.engagement_similarity_features(
-            cand_emb, engagements, jnp.int32(getattr(query, "now", 0))
-        )
-        return {f"rsx_{n}": np.asarray(v) for n, v in block.items()}
+        block = self._jitted(
+            cand_emb, engagements, jnp.int32(getattr(query, "now", 0)))
+        return {f"rsx_{n}": np.asarray(v)[:B] for n, v in block.items()}
 
 
 class EmbeddingTableColumnarHydrator(fs.ColumnarFeatureHydrator):
@@ -197,12 +265,13 @@ _AGG_HL_NAMES = fs.AGG_HALFLIFE_NAMES
 
 def make_aggregate_group(name: str) -> aggregation.AggregateGroup:
     """The wide-schema rollup spec: engagement value × 15 labels ×
-    (count, sum) × 4 half-lives (mean is derived at hydration)."""
+    (count, sum, sumsq, max) × 4 half-lives (mean is derived at
+    hydration) — the framework's full stored-metric catalog."""
     return aggregation.AggregateGroup(
         name=name,
         features=("engagement",),
         labels=_AGG_LABEL_NAMES,
-        metrics=("count", "sum"),
+        metrics=("count", "sum", "sumsq", "max"),
         half_lives_s=_AGG_HL,
     )
 
@@ -210,14 +279,21 @@ def make_aggregate_group(name: str) -> aggregation.AggregateGroup:
 class DecayedAggregatesColumnarHydrator(fs.ColumnarFeatureHydrator):
     """Decayed aggregate rollups read from the aggregation framework.
 
-    ``key`` selects the entity: per-tweet (count/sum/mean), per-author,
-    per-viewer (broadcast), or a pair/keyed cross — "viewer_author",
+    ``key`` selects the entity: per-tweet, per-author, per-viewer
+    (broadcast), a pair/keyed cross — "viewer_author",
     "viewer_original_author", "viewer_engager", "viewer_mention",
-    "viewer_topic" (candidate-feature second key), "viewer_list" (query
-    key), "viewer_dow"/"viewer_hour" (request-time key) — matching the
-    TimelinesAggregationConfigDetails keyed groups. Column order inside the
-    store row follows :func:`aggregation._layout` for
-    ``features=('engagement',)``: ``col = (label*2 + metric)*4 + hl``.
+    "viewer_topic"/"viewer_language"/"viewer_media"/"viewer_conversation"
+    (candidate-feature second key), "viewer_source" (retrieval-source
+    second key), "viewer_list" (query key), "viewer_dow"/"viewer_hour"
+    (request-time key), "author_topic" (author × candidate topic), or
+    "topic" (global per-topic rollup) — matching the
+    TimelinesAggregationConfigDetails keyed groups (+ realtime v2
+    variants). Column order inside the store row follows
+    :func:`aggregation._layout` for ``features=('engagement',)``:
+    ``col = (label*M + metric)*H + hl``.
+
+    Every group exposes the full metric catalog: stored count/sum/sumsq/max
+    plus derived mean, per label × half-life.
     """
 
     _PAIR_FEATURE_KEYS = {
@@ -226,6 +302,9 @@ class DecayedAggregatesColumnarHydrator(fs.ColumnarFeatureHydrator):
         "viewer_engager": "engager_id",
         "viewer_mention": "mentioned_user_id",
         "viewer_topic": "topic_id",
+        "viewer_language": "language_id",
+        "viewer_media": "media_type",
+        "viewer_conversation": "conversation_id",
     }
 
     def __init__(
@@ -235,21 +314,62 @@ class DecayedAggregatesColumnarHydrator(fs.ColumnarFeatureHydrator):
         resolver: aggregation.KeyResolver,
         key: str,
         prefix: str,  # "tweet_agg" | "author_agg" | "user_agg" | pair prefix
-        with_mean: bool = False,
     ):
         assert key in ("tweet", "author", "viewer", "viewer_list",
-                       "viewer_dow", "viewer_hour",
+                       "viewer_dow", "viewer_hour", "viewer_source",
+                       "author_topic", "topic",
                        *self._PAIR_FEATURE_KEYS)
         self._group = group
         self._store = store
         self._resolver = resolver
         self._key = key
         self._prefix = prefix
-        self._with_mean = with_mean
+        # serving-path read cache: the store is static between trainer
+        # refreshes, so the decayed read runs in host numpy (one fetch per
+        # store swap, zero per-request device dispatches)
+        self._np_values: Optional[np.ndarray] = None
+        self._np_last_ts: Optional[np.ndarray] = None
+        F, L = len(group.features), len(group.labels)
+        self._hl_cols = np.asarray(
+            [group.half_lives_s[h]
+             for _ in range(F * L * len(group.metrics))
+             for h in range(len(group.half_lives_s))], np.float32)
+
+    def refresh_store(self, store: aggregation.AggregateStore) -> None:
+        """Swap in an updated store (invalidates the host read cache)."""
+        self._store = store
+        self._np_values = None
+        self._np_last_ts = None
+
+    def _read(self, rows: np.ndarray, now: int) -> np.ndarray:
+        """Host-numpy mirror of :func:`aggregation.read` (decay-to-now)."""
+        if self._np_values is None:
+            self._np_values = np.asarray(self._store.values)
+            self._np_last_ts = np.asarray(self._store.last_ts)
+        dt = (now - self._np_last_ts[rows]).astype(np.float32)
+        decay = np.exp2(-dt[:, None] / self._hl_cols[None, :])
+        return self._np_values[rows] * decay
 
     @property
     def name(self) -> str:
         return f"DecayedAggregatesColumnarHydrator[{self._prefix}]"
+
+    @staticmethod
+    def source_hash(source) -> int:
+        """Stable small id for a retrieval-source name (the second key of
+        the user×source cross)."""
+        import zlib
+
+        return zlib.crc32(str(source or "").encode()) % 1024
+
+    def _cand_feature(self, candidates, feat, default_feat=None):
+        out = []
+        for c in candidates:
+            v = c.features.get(feat)
+            if v is None and default_feat is not None:
+                v = c.features.get(default_feat)
+            out.append(int(v) if v is not None else -1)
+        return out
 
     def hydrate_columns(self, query, ids, candidates, params):
         uid = int(getattr(query, "user_id", 0))
@@ -266,72 +386,80 @@ class DecayedAggregatesColumnarHydrator(fs.ColumnarFeatureHydrator):
             keys = [(uid, (now // 86400) % 7)]
         elif self._key == "viewer_hour":
             keys = [(uid, (now // 3600) % 24)]
+        elif self._key == "viewer_source":
+            keys = [(uid, self.source_hash(c.source)) for c in candidates]
+        elif self._key == "author_topic":
+            topics = self._cand_feature(candidates, "topic_id")
+            keys = [(int(a), t) for a, t in
+                    zip(_author_ids(candidates), topics)]
+        elif self._key == "topic":
+            keys = [(t,) for t in self._cand_feature(candidates, "topic_id")]
         else:  # pair keyed on a per-candidate feature
             feat = self._PAIR_FEATURE_KEYS[self._key]
             default = ("author_id" if self._key == "viewer_original_author"
                        else None)
-            keys = []
-            for c in candidates:
-                second = c.features.get(feat)
-                if second is None and default is not None:
-                    second = c.features.get(default)
-                keys.append((uid, int(second) if second is not None else -1))
+            keys = [(uid, v)
+                    for v in self._cand_feature(candidates, feat, default)]
         # read path: never allocate — unknown keys read as zero rows
         rows = self._resolver.lookup(keys)
         known = rows >= 0
-        block = np.asarray(
-            aggregation.read(
-                self._group,
-                self._store,
-                jnp.asarray(np.where(known, rows, 0)),
-                jnp.int32(getattr(query, "now", 0)),
-            )
-        )  # [len(keys), L*2*H]
+        block = self._read(
+            np.where(known, rows, 0), int(getattr(query, "now", 0))
+        )  # [len(keys), L*M*H]
         block = np.where(known[:, None], block, 0.0)
         if len(keys) == 1 and ids.shape[0] != 1:  # query-keyed → broadcast
             block = np.broadcast_to(block[0], (ids.shape[0], block.shape[1]))
         H = len(_AGG_HL)
+        M = len(self._group.metrics)  # stored metrics (count,sum,sumsq,max)
         cols: Dict[str, np.ndarray] = {}
         for li, label in enumerate(_AGG_LABEL_NAMES):
             for hi, hl in enumerate(_AGG_HL_NAMES):
-                count = block[:, (li * 2 + 0) * H + hi]
+                count = block[:, (li * M + 0) * H + hi]
+                ssum = block[:, (li * M + 1) * H + hi]
                 cols[f"{self._prefix}_{label}_count_{hl}"] = count
-                if self._with_mean:
-                    ssum = block[:, (li * 2 + 1) * H + hi]
-                    cols[f"{self._prefix}_{label}_sum_{hl}"] = ssum
-                    cols[f"{self._prefix}_{label}_mean_{hl}"] = ssum / np.maximum(
-                        count, 1.0
-                    )
+                cols[f"{self._prefix}_{label}_sum_{hl}"] = ssum
+                cols[f"{self._prefix}_{label}_mean_{hl}"] = (
+                    ssum / np.maximum(count, 1.0))
+                cols[f"{self._prefix}_{label}_sumsq_{hl}"] = (
+                    block[:, (li * M + 2) * H + hi])
+                cols[f"{self._prefix}_{label}_max_{hl}"] = (
+                    block[:, (li * M + 3) * H + hi])
         return cols
 
 
 class UssSignalCountColumnarHydrator(fs.ColumnarFeatureHydrator):
-    """Viewer signal counts per SignalType over a window (broadcast) — the
-    USS count features (17 columns)."""
+    """Viewer signal counts per SignalType × window (broadcast) — the USS
+    count features over 90d/30d/7d lookbacks (17 × 3 columns)."""
 
-    def __init__(
-        self, store: user_signals.SignalStore, window_s: int = 90 * 86400
-    ):
+    WINDOWS = {"90d": 90 * 86400, "30d": 30 * 86400, "7d": 7 * 86400}
+
+    def __init__(self, store: user_signals.SignalStore):
         self._store = store
-        self._window_s = window_s
+        # serving-path host mirror (see DecayedAggregates read cache)
+        self._np_ids = np.asarray(store.target_ids)
+        self._np_ts = np.asarray(store.timestamps)
 
     def hydrate_columns(self, query, ids, candidates, params):
         B = ids.shape[0]
         now = int(getattr(query, "now", 0))
-        uid = int(query.user_id) % int(self._store.target_ids.shape[0])
-        # one device fetch + one reduction for ALL 17 signal types
-        # (per-type fetch loops would pay 17 serial round-trips per request)
-        t_ids = self._store.target_ids[uid]  # [S, W]
-        t_ts = self._store.timestamps[uid]
-        counts = np.asarray(jnp.sum(
-            (t_ids != PAD_ID) & (t_ts >= now - self._window_s), axis=-1
-        ))  # [S]
-        return {
-            f"uss_{st.name.lower()}_count_90d": np.full(
-                B, float(counts[int(st)]), np.float32
-            )
-            for st in user_signals.SignalType
-        }
+        uid = int(query.user_id) % int(self._np_ids.shape[0])
+        # one reduction for ALL signal types × windows in host numpy
+        # (per-type fetch loops would pay serial round-trips per request)
+        t_ids = self._np_ids[uid]  # [S, W]
+        t_ts = self._np_ts[uid]
+        cutoffs = np.asarray(
+            [now - w for w in self.WINDOWS.values()], np.int64)  # [3]
+        counts = np.sum(
+            (t_ids != int(PAD_ID))[None, :, :]
+            & (t_ts[None, :, :] >= cutoffs[:, None, None]),
+            axis=-1,
+        )  # [3, S]
+        cols = {}
+        for wi, w_name in enumerate(self.WINDOWS):
+            for st in user_signals.SignalType:
+                cols[f"uss_{st.name.lower()}_count_{w_name}"] = np.full(
+                    B, float(counts[wi, int(st)]), np.float32)
+        return cols
 
 
 class GfsColumnarHydrator(fs.ColumnarFeatureHydrator):
@@ -417,7 +545,82 @@ class CandidateLiftColumnarHydrator(fs.ColumnarFeatureHydrator):
         return cols
 
 
+class ServingContextColumnarHydrator(fs.ColumnarFeatureHydrator):
+    """Request serving context: time-of-day / day-of-week / client one-hots
+    plus page/session scalars (broadcast across candidates) — the
+    RequestContext / non-ML serving feature block."""
+
+    def hydrate_columns(self, query, ids, candidates, params):
+        B = ids.shape[0]
+        now = int(getattr(query, "now", 0))
+        hour = np.zeros(24, np.float32)
+        hour[(now // 3600) % 24] = 1.0
+        dow = np.zeros(7, np.float32)
+        dow[(now // 86400) % 7] = 1.0
+        client = np.zeros(fs.CONTEXT_CLIENTS, np.float32)
+        client[int(getattr(query, "client_id", 0) or 0)
+               % fs.CONTEXT_CLIENTS] = 1.0
+        served = len(getattr(query, "served_tweet_ids", ()) or ())
+        refresh = int(getattr(query, "refresh_count", 0) or 0)
+        session_age = float(getattr(query, "session_age_s", 0) or 0) / 60.0
+        scalars = {
+            "ctx_is_first_page": float(
+                getattr(query, "since_id", None) is None
+                and getattr(query, "max_id", None) is None and served == 0),
+            "ctx_refresh_count_log": float(np.log1p(refresh)),
+            "ctx_session_age_minutes_log": float(np.log1p(session_age)),
+            "ctx_served_depth": float(served),
+        }
+        cols = {
+            "ctx_hour_of_day": np.broadcast_to(hour, (B, 24)),
+            "ctx_day_of_week": np.broadcast_to(dow, (B, 7)),
+            "ctx_client": np.broadcast_to(client, (B, fs.CONTEXT_CLIENTS)),
+        }
+        for n, v in scalars.items():
+            cols[n] = np.full(B, v, np.float32)
+        return cols
+
+
+class SourceOneHotColumnarHydrator(fs.ColumnarFeatureHydrator):
+    """Candidate retrieval-source one-hot over the catalog's source names —
+    the source-attribution block the heavy ranker conditions on."""
+
+    def __init__(self, source_names: Optional[Sequence[str]] = None):
+        names = (tuple(source_names) if source_names is not None
+                 else tuple(fs.candidate_source_names()))
+        self._index = {n: i for i, n in enumerate(names)}
+        self._n = len(names)
+
+    def hydrate_columns(self, query, ids, candidates, params):
+        out = np.zeros((ids.shape[0], self._n), np.float32)
+        for i, c in enumerate(candidates):
+            j = self._index.get(str(c.source))
+            if j is not None:
+                out[i, j] = 1.0
+        return {"source_onehot": out}
+
+
 # -- catalog assembly ----------------------------------------------------------
+
+
+PAIR_KEY_OF = {
+    "user_author_agg": "viewer_author",
+    "user_author_oon_agg": "viewer_author",
+    "user_engager_agg": "viewer_engager",
+    "user_mention_agg": "viewer_mention",
+    "user_original_author_agg": "viewer_original_author",
+    "user_topic_agg": "viewer_topic",
+    "user_list_agg": "viewer_list",
+    "user_dow_agg": "viewer_dow",
+    "user_hour_agg": "viewer_hour",
+    # round-3 keyed crosses
+    "author_topic_agg": "author_topic",
+    "user_source_agg": "viewer_source",
+    "user_language_agg": "viewer_language",
+    "user_media_agg": "viewer_media",
+    "user_conversation_agg": "viewer_conversation",
+    "topic_agg": "topic",
+}
 
 
 def build_wide_hydrators(
@@ -443,36 +646,36 @@ def build_wide_hydrators(
     author_meta,
     followers_of_viewer_fn=None,
     pair_aggs: Optional[Mapping[str, Tuple]] = None,
+    twhin_user_negative=None,
+    twhin_author_follow=None,
+    interested_in_fn=None,  # query -> SparseEmbedding (viewer InterestedIn)
+    source_names: Optional[Sequence[str]] = None,
 ) -> List[fs.ColumnarFeatureHydrator]:
     """All hydrators needed to populate the full WIDE_SCHEMA.
 
     ``pair_aggs``: prefix → (store, resolver) for the keyed crosses
-    ("user_author_agg" + :data:`feature_schema.PAIR_AGG_PREFIXES`).
+    (:data:`feature_schema.PAIR_AGG_PREFIXES` +
+    :data:`feature_schema.EXTRA_AGG_PREFIXES` + "user_author_agg").
     """
     pair_hydrators: List[fs.ColumnarFeatureHydrator] = []
     if pair_aggs:
-        key_of = {
-            "user_author_agg": "viewer_author",
-            "user_author_oon_agg": "viewer_author",
-            "user_engager_agg": "viewer_engager",
-            "user_mention_agg": "viewer_mention",
-            "user_original_author_agg": "viewer_original_author",
-            "user_topic_agg": "viewer_topic",
-            "user_list_agg": "viewer_list",
-            "user_dow_agg": "viewer_dow",
-            "user_hour_agg": "viewer_hour",
-        }
         for prefix, (store, resolver) in pair_aggs.items():
             pair_hydrators.append(DecayedAggregatesColumnarHydrator(
                 make_aggregate_group(prefix), store, resolver,
-                key=key_of[prefix], prefix=prefix,
-                with_mean=(prefix == "user_author_agg"),
+                key=PAIR_KEY_OF[prefix], prefix=prefix,
             ))
-    return pair_hydrators + [
+    out = pair_hydrators + [
         EarlybirdDocColumnarHydrator(doc_fn),
         RealGraphColumnarHydrator(realgraph_table, realgraph_params),
-        TwhinColumnarHydrator(twhin_user, twhin_author, twhin_tweet),
+        TwhinColumnarHydrator(
+            twhin_user, twhin_author, twhin_tweet,
+            user_negative_table=twhin_user_negative,
+            author_follow_table=twhin_author_follow,
+        ),
         RsxColumnarHydrator(tweet_embedding_fn, engagement_fn),
+        SparseProjectionColumnarHydrator(
+            "tweet_simclusters_proj", tweet_embedding_fn, key="tweet"
+        ),
         EmbeddingTableColumnarHydrator(
             "user_interests_emb", user_interests_table, key="viewer"
         ),
@@ -487,7 +690,7 @@ def build_wide_hydrators(
         ),
         DecayedAggregatesColumnarHydrator(
             make_aggregate_group("tweet_agg"), tweet_agg[0], tweet_agg[1],
-            key="tweet", prefix="tweet_agg", with_mean=True,
+            key="tweet", prefix="tweet_agg",
         ),
         DecayedAggregatesColumnarHydrator(
             make_aggregate_group("author_agg"), author_agg[0], author_agg[1],
@@ -503,7 +706,14 @@ def build_wide_hydrators(
             tweepcred, author_meta, followers_of_viewer_fn
         ),
         CandidateLiftColumnarHydrator(),
+        ServingContextColumnarHydrator(),
+        SourceOneHotColumnarHydrator(source_names),
     ]
+    if interested_in_fn is not None:
+        out.append(SparseProjectionColumnarHydrator(
+            "user_simclusters_proj", interested_in_fn, key="viewer"
+        ))
+    return out
 
 
 # -- deterministic synthetic world (test/bench/demo fixture) --------------------
@@ -635,6 +845,10 @@ def synthetic_world(
                  int(rng.integers(0, second_max))) for _ in range(24)]
         return lambda i: pool[i % len(pool)]
 
+    def _single_pool(second_max):
+        pool = [(int(rng.integers(0, second_max)),) for _ in range(24)]
+        return lambda i: pool[i % len(pool)]
+
     pair_aggs = {
         "user_author_agg": agg_fixture(
             "user_author_agg", 32, _pair_pool(num_authors)),
@@ -651,7 +865,29 @@ def synthetic_world(
         "user_list_agg": agg_fixture("user_list_agg", 32, _pair_pool(4)),
         "user_dow_agg": agg_fixture("user_dow_agg", 32, _pair_pool(7)),
         "user_hour_agg": agg_fixture("user_hour_agg", 32, _pair_pool(24)),
+        # round-3 keyed crosses
+        "author_topic_agg": agg_fixture(
+            "author_topic_agg", 32,
+            (lambda pool: lambda i: pool[i % len(pool)])([
+                (int(rng.integers(0, num_authors)),
+                 int(rng.integers(0, 16))) for _ in range(24)])),
+        "user_source_agg": agg_fixture(
+            "user_source_agg", 32, _pair_pool(1024)),
+        "user_language_agg": agg_fixture(
+            "user_language_agg", 32, _pair_pool(8)),
+        "user_media_agg": agg_fixture("user_media_agg", 32, _pair_pool(4)),
+        "user_conversation_agg": agg_fixture(
+            "user_conversation_agg", 32, _pair_pool(num_tweets)),
+        "topic_agg": agg_fixture("topic_agg", 32, _single_pool(16)),
     }
+
+    def interested_in_fn(query) -> sparse.SparseEmbedding:
+        u = int(getattr(query, "user_id", 0)) % num_users
+        return tweet_embedding_fn(np.asarray([u]))  # [1, K] → viewer row
+
+    def interested_in_row(query):
+        emb = interested_in_fn(query)
+        return sparse.SparseEmbedding(emb.ids[0], emb.scores[0])
 
     return dict(
         doc_fn=doc_fn,
@@ -661,8 +897,11 @@ def synthetic_world(
         twhin_user=table(num_users, 64),
         twhin_author=table(num_authors, 64),
         twhin_tweet=table(num_tweets, 64),
+        twhin_user_negative=table(num_users, 64),
+        twhin_author_follow=table(num_authors, 64),
         tweet_embedding_fn=tweet_embedding_fn,
         engagement_fn=engagement_fn,
+        interested_in_fn=interested_in_row,
         user_interests_table=table(num_users, 128),
         author_agg_table=table(num_authors, 128),
         media_cluster_table=table(num_tweets, 64),

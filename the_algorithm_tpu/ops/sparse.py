@@ -255,3 +255,10 @@ def pairwise_cosine_matrix(
 ) -> jnp.ndarray:
     """[Na, Nb] cosine matrix between two batches (listwise feature block)."""
     return jax.vmap(lambda ai: jax.vmap(lambda bj: cosine(ai, bj))(b))(a)
+
+
+def pairwise_matrix(fn, a: SparseEmbedding, b: SparseEmbedding) -> jnp.ndarray:
+    """[Na, Nb] matrix of any pairwise similarity op (dot/log_cosine/…) —
+    the generalized listwise block behind the RSX similarity-kind families
+    (``SimClustersEmbeddingPairScoreStore.build*Store``)."""
+    return jax.vmap(lambda ai: jax.vmap(lambda bj: fn(ai, bj))(b))(a)
