@@ -46,7 +46,7 @@ _SLOW_MODULES = {
     "test_multihost", "test_native_front", "test_parallel",
     "test_tweet_embeddings_ann", "test_seg_scan", "test_gather",
     "test_data_record_trainer", "test_models_training", "test_twhin",
-    "test_search_persistence",
+    "test_search_persistence", "test_scaling_efficiency",
 }
 
 
