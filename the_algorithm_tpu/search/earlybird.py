@@ -135,6 +135,11 @@ class RelevanceParams(NamedTuple):
     """Request-scoped ranking parameters (≡ ThriftRankingParams /
     ``earlybird/common/ranking/`` — each search request carries its own
     weights, boosts, and demotions; nothing is hardcoded in the scorer).
+
+    The text block (``text_weight``/``bm25_k1``/``bm25_b``/
+    ``proximity_weight``) drives :func:`text_relevance` — the Lucene
+    text-score analog that ``FeatureBasedScoringFunction.java:69`` starts
+    from (``luceneScore`` + boosts structure).
     """
 
     weights: jnp.ndarray  # [F] per-doc-feature linear weights
@@ -143,6 +148,11 @@ class RelevanceParams(NamedTuple):
     reply_demotion: jnp.ndarray = jnp.float32(1.0)  # multiplier if is_reply
     retweet_demotion: jnp.ndarray = jnp.float32(1.0)
     language_boost: jnp.ndarray = jnp.float32(0.0)  # added if language_match
+    # text relevance (tf/idf saturation + length norm + term proximity)
+    text_weight: jnp.ndarray = jnp.float32(1.0)
+    bm25_k1: jnp.ndarray = jnp.float32(1.2)
+    bm25_b: jnp.ndarray = jnp.float32(0.75)
+    proximity_weight: jnp.ndarray = jnp.float32(0.5)
 
 
 _DEFAULT_WEIGHT_TABLE = {
@@ -197,6 +207,131 @@ def linear_score(
     score = demote(score, is_rt, relevance.retweet_demotion)
     lang = features[..., DOC_FEATURE_INDEX["language_match"]] > 0
     return score + jnp.where(lang, relevance.language_boost, 0.0)
+
+
+def text_relevance(
+    tokens: jnp.ndarray,  # [T, L] position-indexed token ids (PAD padded)
+    query_tokens: jnp.ndarray,  # [Qt] (PAD padded)
+    live: jnp.ndarray,  # [T] bool — slots that hold a real document
+    *,
+    k1: jnp.ndarray = jnp.float32(1.2),
+    b: jnp.ndarray = jnp.float32(0.75),
+    proximity_weight: jnp.ndarray = jnp.float32(0.5),
+    field_weight: jnp.ndarray = jnp.float32(1.0),
+    corpus_stats: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """[T] Lucene-analog text score from the position-indexed token arrays.
+
+    ≡ the text component ``FeatureBasedScoringFunction.java:69`` builds on
+    (``luceneScore``): per-term BM25 — saturated term frequency with
+    document-length normalization and corpus idf — summed over query terms,
+    plus a term-proximity boost (minimal pairwise distance between
+    consecutive query terms; Lucene's span/phrase flavor). Everything is
+    computed from the live index state in one vectorized pass: tf by
+    position-mask reduction, df by live-doc reduction, proximity by a
+    static [L, L] distance table — no inverted lists, no positions decode.
+    """
+    q_valid = query_tokens != PAD_ID  # [Qt]
+    hit = (tokens[:, :, None] == query_tokens[None, None, :]) & \
+        q_valid[None, None, :]  # [T, L, Qt]
+    tf = jnp.sum(hit, axis=1).astype(jnp.float32)  # [T, Qt]
+    doclen = jnp.sum(tokens != PAD_ID, axis=1).astype(jnp.float32)  # [T]
+    if corpus_stats is not None:
+        # sharded path: GLOBAL corpus statistics psum'd over the partition
+        # axis (the reference scores with per-partition Lucene idf; the
+        # one-program mesh makes exact global idf free)
+        df, sum_doclen, n_live = corpus_stats
+        n_live = jnp.maximum(n_live, 1.0)
+        avglen = jnp.maximum(sum_doclen / n_live, 1.0)
+    else:
+        livef = live.astype(jnp.float32)
+        n_live = jnp.maximum(jnp.sum(livef), 1.0)
+        avglen = jnp.maximum(jnp.sum(doclen * livef) / n_live, 1.0)
+        df = jnp.sum((tf > 0) & live[:, None], axis=0).astype(jnp.float32)
+    idf = jnp.log1p((n_live - df + 0.5) / (df + 0.5))  # [Qt]
+    denom = tf + k1 * (1.0 - b + b * doclen[:, None] / avglen)
+    per_term = idf[None, :] * tf * (k1 + 1.0) / jnp.maximum(denom, 1e-9)
+    score = jnp.sum(jnp.where(q_valid[None, :], per_term, 0.0), axis=1)  # [T]
+
+    # proximity: mean over consecutive valid term pairs of the minimal
+    # position distance; docs containing a pair adjacently get the full
+    # boost, distant/absent pairs decay to zero
+    Qt = query_tokens.shape[0]
+    L = tokens.shape[1]
+    if Qt >= 2:
+        pos = jnp.arange(L)
+        dist = jnp.abs(pos[:, None] - pos[None, :]).astype(jnp.float32)
+        boosts = []
+        pair_valid = []
+        for qi in range(Qt - 1):
+            a = hit[:, :, qi]  # [T, L]
+            bmask = hit[:, :, qi + 1]
+            pair = a[:, :, None] & bmask[:, None, :]  # [T, L, L]
+            d = jnp.min(
+                jnp.where(pair, dist[None, :, :], jnp.inf), axis=(1, 2))
+            boosts.append(jnp.where(jnp.isfinite(d), 1.0 / d.clip(1.0), 0.0))
+            pair_valid.append(q_valid[qi] & q_valid[qi + 1])
+        boost = jnp.stack(boosts, axis=1)  # [T, Qt-1]
+        pv = jnp.stack(pair_valid).astype(jnp.float32)  # [Qt-1]
+        n_pairs = jnp.maximum(jnp.sum(pv), 1.0)
+        score = score + proximity_weight * (
+            jnp.sum(boost * pv[None, :], axis=1) / n_pairs)
+    return field_weight * score
+
+
+def text_corpus_stats(
+    tokens: jnp.ndarray, query_tokens: jnp.ndarray, live: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(df [Qt], Σ doclen [], n_live []) — the corpus statistics
+    :func:`text_relevance` needs; psum these over the partition axis for
+    exact global idf in the sharded path."""
+    q_valid = query_tokens != PAD_ID
+    contains = jnp.any(
+        (tokens[:, :, None] == query_tokens[None, None, :])
+        & q_valid[None, None, :],
+        axis=1,
+    )  # [T, Qt]
+    doclen = jnp.sum(tokens != PAD_ID, axis=1).astype(jnp.float32)
+    livef = live.astype(jnp.float32)
+    df = jnp.sum(contains & live[:, None], axis=0).astype(jnp.float32)
+    return df, jnp.sum(doclen * livef), jnp.sum(livef)
+
+
+def text_relevance_reference(
+    docs: Sequence[Sequence[int]],
+    query_terms: Sequence[int],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    proximity_weight: float = 0.5,
+) -> np.ndarray:
+    """Plain-Python oracle for :func:`text_relevance` (parity tests)."""
+    import math
+
+    n = max(len(docs), 1)
+    avglen = max(sum(len(d) for d in docs) / n, 1.0)
+    df = {t: sum(1 for d in docs if t in d) for t in query_terms}
+    out = np.zeros(len(docs), np.float32)
+    for i, d in enumerate(docs):
+        s = 0.0
+        for t in query_terms:
+            tf = sum(1 for w in d if w == t)
+            idf = math.log1p((n - df[t] + 0.5) / (df[t] + 0.5))
+            denom = tf + k1 * (1 - b + b * len(d) / avglen)
+            s += idf * tf * (k1 + 1) / max(denom, 1e-9)
+        if len(query_terms) >= 2:
+            pair_boosts = []
+            for a, bb in zip(query_terms, query_terms[1:]):
+                pa = [j for j, w in enumerate(d) if w == a]
+                pb = [j for j, w in enumerate(d) if w == bb]
+                if pa and pb:
+                    dmin = min(abs(x - y) for x in pa for y in pb)
+                    pair_boosts.append(1.0 / max(dmin, 1))
+                else:
+                    pair_boosts.append(0.0)
+            s += proximity_weight * sum(pair_boosts) / len(pair_boosts)
+        out[i] = s
+    return out
 
 
 class SearchQuery(NamedTuple):
@@ -317,6 +452,7 @@ def search(
     model_score_fn=None,
     extra_mask: Optional[jnp.ndarray] = None,
     rank_by: str = "relevance",
+    corpus_stats: Optional[Tuple] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full-corpus scan → (tweet_ids[X], scores[X]).
 
@@ -354,8 +490,15 @@ def search(
             index.features, relevance,
             created_ts=index.created_ts, now=query.max_ts,
         )
-    # token-overlap ratio folds in as the text score component
-    score = score + overlap
+    # Lucene-analog text component: BM25 tf/idf + length norm + proximity
+    # over the position-indexed token arrays (replaces the r2 token-overlap
+    # ratio; ``FeatureBasedScoringFunction.java:69`` luceneScore structure)
+    score = score + relevance.text_weight * text_relevance(
+        index.tokens, query.tokens, index.author != PAD_ID,
+        k1=relevance.bm25_k1, b=relevance.bm25_b,
+        proximity_weight=relevance.proximity_weight,
+        corpus_stats=corpus_stats,
+    )
 
     score = jnp.where(ok, score, -jnp.inf)
     k = min(max_results, score.shape[0])
@@ -387,9 +530,20 @@ def search_sharded(
         li = EarlybirdIndex(
             tokens, author, ts, feats, tids, jnp.int32(0)
         )
+        # global text-corpus statistics: per-shard partials psum over the
+        # partition axis so idf/length-norm match the single-index scan
+        # exactly (the reference's per-partition Lucene idf drifts here)
+        df_l, len_l, n_l = text_corpus_stats(
+            tokens, query.tokens, author != PAD_ID)
+        stats = (
+            jax.lax.psum(df_l, MODEL_AXIS),
+            jax.lax.psum(len_l, MODEL_AXIS),
+            jax.lax.psum(n_l, MODEL_AXIS),
+        )
         ids, scores = search(
             li, query, max_results=X, relevance=relevance,
             model_score_fn=model_score_fn, rank_by=rank_by,
+            corpus_stats=stats,
         )
         all_ids = jax.lax.all_gather(ids, MODEL_AXIS, axis=0, tiled=True)
         all_scores = jax.lax.all_gather(scores, MODEL_AXIS, axis=0, tiled=True)

@@ -77,6 +77,50 @@ def load_index(
     return index, offset
 
 
+# -- archive tier: realtime roll-off -------------------------------------------
+
+
+def roll_expired(
+    realtime: EarlybirdIndex,
+    archive: EarlybirdIndex,
+    *,
+    now: int,
+    retention_s: int,
+) -> Tuple[EarlybirdIndex, EarlybirdIndex, int]:
+    """Move documents older than the realtime retention into the archive
+    tier (≡ the segment optimizer + ``EarlybirdIndexFlusher`` roll-off that
+    keeps the realtime cluster at ~7 days and hands older segments to the
+    full-archive cluster, ``src/java/com/twitter/search/README.md:15``).
+
+    Host-side maintenance pass (the flusher is host-side in the reference
+    too): expired live docs append into the archive ring via the normal
+    ``ingest`` path, their realtime slots empty (author/tweet_id → PAD).
+    Returns (new_realtime, new_archive, n_rolled).
+    """
+    author = np.asarray(realtime.author)
+    ts = np.asarray(realtime.created_ts)
+    live = author != int(PAD_ID)
+    expired = live & (ts < int(now) - int(retention_s))
+    n = int(expired.sum())
+    if n == 0:
+        return realtime, archive, 0
+    sel = np.nonzero(expired)[0]
+    archive = ingest(
+        archive,
+        realtime.tokens[sel],
+        realtime.author[sel],
+        realtime.created_ts[sel],
+        realtime.features[sel],
+        realtime.tweet_ids[sel],
+    )
+    exp = jnp.asarray(expired)
+    realtime = realtime._replace(
+        author=jnp.where(exp, PAD_ID, realtime.author),
+        tweet_ids=jnp.where(exp, PAD_ID, realtime.tweet_ids),
+    )
+    return realtime, archive, n
+
+
 # -- feature-update service ----------------------------------------------------
 
 
