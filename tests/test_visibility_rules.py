@@ -194,8 +194,13 @@ class TestExpandedCatalog:
         return self.engine.evaluate(level, feats)
 
     def test_catalog_size(self):
-        assert len(VR.all_rule_names()) >= 60
-        assert len(VR.CATALOG_RULES) == 8
+        # round-3 breadth bar: ≥150 rules across ≥20 surface levels, every
+        # enum level bound to a policy (≡ RuleBase.scala's level→policy map)
+        from the_algorithm_tpu.pipeline.visibility import SafetyLevel as SL
+
+        assert len(VR.all_rule_names()) >= 150
+        assert len(VR.CATALOG_RULES) >= 20
+        assert set(VR.CATALOG_RULES) == set(SL)
 
     def test_toxic_reply_tombstone_in_conversation(self):
         res = self._eval(SafetyLevel.CONVERSATION,
@@ -282,3 +287,136 @@ class TestExpandedCatalog:
         res = f.apply(None, cands, None)
         assert [c.id for c in res.kept] == [2]
         assert res.removed[0].features["visibility_reason"] == "toxic_reply_hidden"
+
+
+# -- round-3 expansion: ≥150 rules / 27 levels, FOSNR ladder, public-interest
+# per-policy rules, quoted-tweet tombstones, ads brand safety, trends gates,
+# push strictness, muted keywords, and the per-(level,rule,action) metric
+# recorder (≡ VisibilityResultsMetricRecorder.scala:21-167)
+
+
+class TestRoundThreeCatalog:
+    def setup_method(self):
+        self.engine = VR.catalog_engine()
+
+    def _eval(self, level, **feats):
+        return self.engine.evaluate(level, feats)
+
+    def test_every_level_allows_clean_content(self):
+        for level in SafetyLevel:
+            res = self._eval(level)
+            assert res.action == Action.ALLOW, (level, res)
+
+    def test_fosnr_ladder(self):
+        # ranked home: interstitial + downrank, never drop for followers
+        res = self._eval(SafetyLevel.TIMELINE_HOME,
+                         tweet_labels={"fosnr_restricted"},
+                         viewer_follows_author=True)
+        assert res.action == Action.INTERSTITIAL
+        # recommendations: non-follower amplification drop
+        res = self._eval(SafetyLevel.RECOMMENDATIONS,
+                         tweet_labels={"fosnr_restricted"})
+        assert res.action == Action.DROP
+        # the author always sees their own content un-dropped
+        res = self._eval(SafetyLevel.RECOMMENDATIONS,
+                         tweet_labels={"fosnr_restricted"},
+                         viewer_is_author=True, viewer_follows_author=True)
+        assert res.action != Action.DROP
+
+    def test_public_interest_per_policy(self):
+        res = self._eval(SafetyLevel.TIMELINE_HOME,
+                         tweet_labels={"public_interest_civic_integrity"},
+                         viewer_follows_author=True)
+        assert res.action == Action.INTERSTITIAL
+        res = self._eval(SafetyLevel.RECOMMENDATIONS,
+                         tweet_labels={"public_interest_civic_integrity"})
+        assert res.action == Action.DROP  # no amplification
+
+    def test_quoted_tweet_tombstones(self):
+        res = self._eval(SafetyLevel.QUOTED_TWEET, is_deleted=True)
+        assert res.action == Action.TOMBSTONE
+        res = self._eval(SafetyLevel.QUOTED_TWEET, author_blocks_viewer=True)
+        assert res.action == Action.TOMBSTONE
+        res = self._eval(SafetyLevel.QUOTED_TWEET, is_nsfw_media=True)
+        assert res.action == Action.INTERSTITIAL
+
+    def test_ads_brand_safety(self):
+        assert self._eval(SafetyLevel.ADS,
+                          toxicity_score=0.75).action == Action.DROP
+        assert self._eval(SafetyLevel.ADS,
+                          tweet_labels={"misinfo_civic"}).action == Action.DROP
+        # the same toxicity passes the home timeline
+        assert self._eval(SafetyLevel.TIMELINE_HOME,
+                          toxicity_score=0.75).action == Action.ALLOW
+
+    def test_trends_representative_tweet_strict(self):
+        assert self._eval(SafetyLevel.TRENDS_REPRESENTATIVE_TWEET,
+                          pspammy_score=0.7).action == Action.DROP
+        assert self._eval(SafetyLevel.TIMELINE_HOME,
+                          pspammy_score=0.7).action == Action.ALLOW
+
+    def test_push_stricter_than_notifications(self):
+        feats = dict(toxicity_score=0.65)
+        assert self._eval(SafetyLevel.NOTIFICATIONS, **feats).action \
+            == Action.ALLOW
+        assert self._eval(SafetyLevel.NOTIFICATIONS_PUSH, **feats).action \
+            == Action.DROP
+
+    def test_muted_keywords(self):
+        feats = dict(viewer_muted_keywords=("spoilers",),
+                     tweet_keywords=("big", "spoilers", "here"))
+        assert self._eval(SafetyLevel.TIMELINE_HOME, **feats).action \
+            == Action.DROP
+        # viewer-owned surfaces don't apply keyword mutes
+        assert self._eval(SafetyLevel.TIMELINE_BOOKMARK, **feats).action \
+            == Action.ALLOW
+
+    def test_viewer_owned_surfaces_permissive(self):
+        feats = dict(tweet_labels={"spam_high_recall"})
+        assert self._eval(SafetyLevel.TIMELINE_HOME, **feats).action \
+            == Action.DROP
+        assert self._eval(SafetyLevel.TIMELINE_FAVORITES, **feats).action \
+            == Action.ALLOW
+        # but legal withholding still applies everywhere
+        assert self._eval(SafetyLevel.TIMELINE_FAVORITES,
+                          tweet_labels={"dmca_withheld"}).action \
+            == Action.TOMBSTONE
+
+    def test_embedded_fail_closed_nsfw(self):
+        assert self._eval(SafetyLevel.EMBEDDED_TWEET,
+                          is_nsfw_media=True).action == Action.DROP
+        assert self._eval(SafetyLevel.EMBEDDED_TWEET,
+                          author_is_protected=True).action == Action.DROP
+
+    def test_violent_threat_fail_closed(self):
+        # condition error on a fail-closed rule must DROP
+        class Boom:
+            def __contains__(self, item):
+                raise RuntimeError("label store down")
+
+        res = self._eval(SafetyLevel.TIMELINE_HOME, tweet_labels=Boom())
+        assert res.action == Action.DROP
+
+
+class TestMetricRecorder:
+    def test_per_level_rule_action_matrix(self):
+        from the_algorithm_tpu.pipeline.visibility import (
+            VisibilityResultsMetricRecorder, VisibilityRuleEngine,
+        )
+
+        rec = VisibilityResultsMetricRecorder()
+        engine = VisibilityRuleEngine(VR.CATALOG_RULES, recorder=rec)
+        engine.evaluate(SafetyLevel.TIMELINE_HOME, {"is_deleted": True})
+        engine.evaluate(SafetyLevel.TIMELINE_HOME, {})
+        engine.evaluate(SafetyLevel.ADS, {"toxicity_score": 0.9})
+
+        assert rec.triggered(SafetyLevel.TIMELINE_HOME,
+                             "DropDeletedTweet") == 1
+        assert rec.triggered(SafetyLevel.ADS, "AdsDropHighToxicityRule") == 1
+        # evaluated counts present per (level, rule)
+        m = rec.matrix()
+        assert m[("timeline_home", "DropDeletedTweet", "evaluated")] == 2
+        # final-verdict distribution per level
+        assert rec.verdict_counts[("timeline_home", "DROP")] == 1
+        assert rec.verdict_counts[("timeline_home", "ALLOW")] == 1
+        assert rec.verdict_counts[("ads", "DROP")] == 1

@@ -33,16 +33,46 @@ class Action(enum.IntEnum):
 
 
 class SafetyLevel(enum.Enum):
-    """Per-surface rule sets (subset of the ~100 reference levels)."""
+    """Per-surface rule sets (≡ the reference's SafetyLevel space — one
+    level per product surface, each bound to its own policy in
+    ``rules/RuleBase.scala``'s level→policy map)."""
 
+    # home timelines
     TIMELINE_HOME = "timeline_home"
+    TIMELINE_HOME_LATEST = "timeline_home_latest"  # chron Following
+    TIMELINE_HOME_RECOMMENDATIONS = "timeline_home_recommendations"
+    # profile / user-content timelines
     TIMELINE_PROFILE = "timeline_profile"
-    SEARCH = "search"
+    TIMELINE_FAVORITES = "timeline_favorites"
+    TIMELINE_BOOKMARK = "timeline_bookmark"
+    TIMELINE_LISTS = "timeline_lists"
+    TIMELINE_MEDIA = "timeline_media"
+    # search verticals
+    SEARCH = "search"  # top
+    SEARCH_LATEST = "search_latest"
+    SEARCH_MEDIA = "search_media"
+    SEARCH_PEOPLE = "search_people"
+    # recommendation surfaces
     RECOMMENDATIONS = "recommendations"
+    RECOMMENDATIONS_VIDEO = "recommendations_video"
+    TOPIC_RECOMMENDATIONS = "topic_recommendations"
+    TRENDS_REPRESENTATIVE_TWEET = "trends_representative_tweet"
+    # notifications
     NOTIFICATIONS = "notifications"
+    NOTIFICATIONS_PUSH = "notifications_push"
+    # threads
     CONVERSATION = "conversation"  # reply threads (ToxicityReplyFilter)
+    QUOTED_TWEET = "quoted_tweet"  # inner tweet of a quote
+    # messaging
     DIRECT_MESSAGES = "direct_messages"  # DmConversation/DmEventRules
+    DIRECT_MESSAGES_INBOX = "direct_messages_inbox"
+    DIRECT_MESSAGES_SEARCH = "direct_messages_search"
+    # audio / live
     SPACES = "spaces"  # SpaceRules
+    SPACES_SHARING = "spaces_sharing"  # space share cards in timelines
+    # monetized / syndicated
+    ADS = "ads"
+    EMBEDDED_TWEET = "embedded_tweet"  # publisher embeds (logged-out)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,40 +94,82 @@ class VisibilityResult:
     reason: str = ""
 
 
+class VisibilityResultsMetricRecorder:
+    """Per-(SafetyLevel, Rule, Action) evaluation matrix
+    (≡ ``VisibilityResultsMetricRecorder.scala:21-167``: the reference
+    records evaluated/triggered/failed counts per rule scoped under the
+    safety level, plus the final verdict distribution per level)."""
+
+    def __init__(self):
+        # (level.value, rule_name, outcome) -> count; outcome is
+        # "evaluated" | "triggered" | "failed" | "disabled"
+        self.rule_counts: Dict[tuple, int] = {}
+        # (level.value, action.name) -> count of final verdicts
+        self.verdict_counts: Dict[tuple, int] = {}
+
+    def record_rule(self, level: SafetyLevel, rule: str, outcome: str) -> None:
+        k = (level.value, rule, outcome)
+        self.rule_counts[k] = self.rule_counts.get(k, 0) + 1
+
+    def record_verdict(self, level: SafetyLevel, action: Action) -> None:
+        k = (level.value, action.name)
+        self.verdict_counts[k] = self.verdict_counts.get(k, 0) + 1
+
+    def matrix(self) -> Dict[tuple, int]:
+        """The full (level, rule, outcome) count matrix."""
+        return dict(self.rule_counts)
+
+    def triggered(self, level: SafetyLevel, rule: str) -> int:
+        return self.rule_counts.get((level.value, rule, "triggered"), 0)
+
+
 class VisibilityRuleEngine:
     def __init__(
         self,
         rules_by_level: Mapping[SafetyLevel, Sequence[Rule]],
         stats: Optional[StatsReceiver] = None,
         short_circuit: bool = True,
+        recorder: Optional[VisibilityResultsMetricRecorder] = None,
     ):
         self.rules_by_level = dict(rules_by_level)
         self.stats = stats or NullStats()
         self.short_circuit = short_circuit
+        self.recorder = recorder
 
     def evaluate(
         self, level: SafetyLevel, features: Mapping
     ) -> VisibilityResult:
         """Most-severe action among triggered rules (short-circuit on DROP)."""
+        rec = self.recorder
         result = VisibilityResult(Action.ALLOW, [])
         for rule in self.rules_by_level.get(level, ()):  # ordered
             if not rule.enabled():
                 self.stats.counter(f"visibility/{rule.name}/disabled")
+                if rec:
+                    rec.record_rule(level, rule.name, "disabled")
                 continue
+            if rec:
+                rec.record_rule(level, rule.name, "evaluated")
             try:
                 applies = rule.condition(features)
             except Exception:
                 self.stats.counter(f"visibility/{rule.name}/errors")
+                if rec:
+                    rec.record_rule(level, rule.name, "failed")
                 # fail-closed rules drop on evaluation failure
                 applies = rule.fail_closed
             if applies:
                 self.stats.counter(f"visibility/{rule.name}/triggered")
+                if rec:
+                    rec.record_rule(level, rule.name, "triggered")
                 result.triggered_rules.append(rule.name)
                 if rule.action > result.action:
                     result.action = rule.action
                     result.reason = rule.reason or rule.name
                 if self.short_circuit and result.action == Action.DROP:
                     break
+        if rec:
+            rec.record_verdict(level, result.action)
         return result
 
 
