@@ -219,3 +219,50 @@ class TestAggregation:
         assert list(rows) == [0, 1, 0]
         with pytest.raises(KeyError):
             kr.resolve([(5, 6)])
+
+
+class TestGfsSharded:
+    """GFS worker fan-out on the mesh: partial intersections psum to exact
+    single-device parity (WorkerGetIntersectionHandler.scala:18-31)."""
+
+    @pytest.mark.slow
+    def test_sharded_parity_with_single_device(self, mesh8):
+        import numpy as np
+
+        from the_algorithm_tpu.features import graph_features as gf
+        from the_algorithm_tpu.ops.sparse import PAD_ID
+
+        rng = np.random.default_rng(3)
+        E, U, D = len(gf.EdgeType), 32, 12
+        nbrs = np.full((E, U, D), int(PAD_ID), np.int32)
+        for e in range(E):
+            for u in range(U):
+                deg = int(rng.integers(1, D))
+                nbrs[e, u, :deg] = np.sort(
+                    rng.choice(U, size=deg, replace=False))
+        tables = gf.GraphTables(jnp.asarray(nbrs))
+        n_shards = mesh8.shape["model"]
+        sharded = gf.shard_tables(tables, n_shards)
+        uid = jnp.int32(5)
+        cands = jnp.asarray(rng.integers(0, U, 16), jnp.int32)
+        want = gf.feature_block(tables, uid, cands)
+        got = gf.feature_block_sharded(mesh8, sharded, uid, cands)
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(want[k]), rtol=1e-6,
+                err_msg=k)
+
+    def test_shard_tables_partitions_ids(self):
+        import numpy as np
+
+        from the_algorithm_tpu.features import graph_features as gf
+        from the_algorithm_tpu.ops.sparse import PAD_ID
+
+        nbrs = np.full((1, 2, 6), int(PAD_ID), np.int32)
+        nbrs[0, 0, :4] = [1, 2, 7, 8]
+        tables = gf.GraphTables(jnp.asarray(nbrs))
+        sharded = np.asarray(gf.shard_tables(tables, 2))
+        row0 = [x for x in sharded[0, 0, 0] if x != int(PAD_ID)]
+        row1 = [x for x in sharded[1, 0, 0] if x != int(PAD_ID)]
+        assert row0 == [2, 8] and row1 == [1, 7]  # bucket = id % 2, sorted

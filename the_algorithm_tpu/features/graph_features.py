@@ -96,3 +96,80 @@ def feature_block(
             jnp.float32
         )
     return out
+
+
+# -- sharded worker path ------------------------------------------------------
+#
+# ≡ the server→worker fan-out: the server asks every worker for partial
+# intersection counts over the slice of the adjacency lists it owns and sums
+# the partials (``WorkerGetIntersectionHandler.scala:18-31``,
+# ``GetIntersectionStore.scala``). On the mesh: adjacency rows are
+# repartitioned by neighbor-id bucket (id % n_shards — a filtered
+# subsequence of a sorted row stays sorted), each 'model'-axis shard
+# computes |A_w ∩ B_w| on its local slice, and the exact total is a psum:
+# buckets partition the id space, so cross-shard pairs can never match.
+
+
+def shard_tables(tables: GraphTables, n_shards: int,
+                 width: int = 0) -> jnp.ndarray:
+    """Repartition [E, U, D] adjacency into per-worker slices
+    [n_shards, E, U, W] by neighbor-id bucket (host-side build step — the
+    scalding ``GraphFeatureServiceMainJob`` writes exactly such per-worker
+    shards). ``width`` defaults to D (worst-case bucket skew keeps every
+    neighbor)."""
+    import numpy as np
+
+    nbrs = np.asarray(tables.neighbors)
+    E, U, D = nbrs.shape
+    W = width or D
+    out = np.full((n_shards, E, U, W), int(PAD_ID), np.int32)
+    valid = nbrs != int(PAD_ID)
+    bucket = np.where(valid, nbrs % n_shards, -1)
+    for s in range(n_shards):
+        sel = bucket == s  # [E, U, D] mask, order-preserving → stays sorted
+        # pack each row's selected ids to the front
+        order = np.argsort(~sel, axis=2, kind="stable")
+        packed = np.take_along_axis(np.where(sel, nbrs, int(PAD_ID)),
+                                    order, axis=2)
+        out[s] = packed[:, :, :W]
+    return jnp.asarray(out)
+
+
+def feature_block_sharded(
+    mesh,
+    sharded_neighbors: jnp.ndarray,  # [n_shards, E, U, W] from shard_tables
+    user_id: jnp.ndarray,
+    candidate_ids: jnp.ndarray,  # [C]
+) -> Dict[str, jnp.ndarray]:
+    """The worker fan-out on the mesh: per-shard partial intersections over
+    bucketed adjacency slices, psum'd over 'model' — exact parity with
+    :func:`feature_block` (tests assert it on the 8-device mesh)."""
+    from jax.sharding import PartitionSpec as P
+
+    from the_algorithm_tpu.core.mesh import MODEL_AXIS
+
+    def worker(local_nbrs, uid, cands):
+        local = GraphTables(local_nbrs[0])  # [E, U, W] this worker's slice
+        partial: Dict[str, jnp.ndarray] = {}
+        for name, (ue, ce) in FEATURE_PAIRS.items():
+            counts, degree = get_intersection(local, uid, cands, ue, ce)
+            partial[name] = jax.lax.psum(counts, MODEL_AXIS)
+            partial[name + "__degree"] = jax.lax.psum(degree, MODEL_AXIS)
+        return partial
+
+    fn = jax.shard_map(
+        worker,
+        mesh=mesh,
+        in_specs=(P(MODEL_AXIS), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    raw = fn(sharded_neighbors, user_id, candidate_ids)
+    out: Dict[str, jnp.ndarray] = {}
+    for name in FEATURE_PAIRS:
+        counts = raw[name].astype(jnp.float32)
+        degree = raw[name + "__degree"]
+        out[name] = counts
+        out[name + "_normalized"] = counts / jnp.maximum(degree, 1).astype(
+            jnp.float32)
+    return out
