@@ -141,6 +141,8 @@ def make_world():
         video_tweet_ids=np.asarray([801, 802, 803], np.int32),
         curated_tls_authors={"en": [2]},  # author ids, resolved via earlybird
         pinned_tweet_author_fn=lambda t: int(t) % 8,
+        twhin_user_items=jnp.asarray(items[:8]),
+        similar_consumers_fn=lambda q: ([0, 1], [1.0, 0.5]),
         producer_embedding_by_id_fn=lambda a: _emb((int(a) % 4,)),
     )
 
@@ -166,7 +168,7 @@ class TestCatalogBreadth:
         assert missing == {
             "popular_topic_tweets", "skit_topic_tweets",
             "skit_high_precision_topic_tweets", "qig_search_history_tweets",
-            "user_interests_summary",
+            "user_interests_summary", "tweet_based_unified",
         }
 
     def test_family_coverage(self):

@@ -173,3 +173,77 @@ class TestRouterIntegration:
         assert out
         # tweet 4 is surfaced by QIG, UTG, and UAG → accumulates top evidence
         assert out[0].id == 4
+
+
+class TestRoundThreeEngines:
+    """r3 engine-class breadth: ConsumersBasedUTG, TwhinCollabFilter,
+    Unified (≡ cr-mixer similarity_engine/ variants)."""
+
+    def _graph(self, U=8, W=8):
+        import numpy as np
+
+        g = uteg.init_graph(U, width=W)
+        # user u engaged tweets {100+u, 200} — 200 is universally popular
+        users = np.repeat(np.arange(U), 2).astype(np.int32)
+        tweets = np.stack([100 + np.arange(U), np.full(U, 200)],
+                          axis=1).reshape(-1).astype(np.int32)
+        types = np.full(users.shape, int(uteg.EngagementType.FAVORITE),
+                        np.int32)
+        ts = np.arange(users.shape[0], dtype=np.int32) + 10
+        return uteg.record_engagements(g, users, tweets, types, ts)
+
+    def test_consumers_based_utg_uses_similar_consumers(self):
+        g = self._graph()
+        eng = SE.ConsumersBasedUTGEngine(
+            g, lambda q: ([2, 3], [1.0, 0.5]), max_results=8)
+        got = eng.get(object(), None)
+        ids = {c.id for c in got}
+        assert 200 in ids  # both seeds engaged it
+        assert ids <= {102, 103, 200}
+
+    def test_twhin_collab_filter_two_stage(self):
+        import numpy as np
+
+        g = self._graph()
+        U, D = 8, 4
+        emb = np.eye(U, D, dtype=np.float32)
+        # viewer vector = e0+e1 → most-similar users are 0 and 1
+        eng = SE.TwhinCollabFilterEngine(
+            jnp.asarray(emb), g,
+            user_vec_fn=lambda q: jnp.asarray([1.0, 1.0, 0.0, 0.0]),
+            similar_users=2, max_results=8)
+        got = eng.get(object(), None)
+        ids = {c.id for c in got}
+        assert 200 in ids
+        assert ids <= {100, 101, 200}
+        top = max(got, key=lambda c: c.score)
+        assert top.id == 200  # two similar users engaged → highest mass
+
+    def test_unified_engine_blends_and_dedups(self):
+        class Fixed(SE.CandidateSource):
+            def __init__(self, name, rows):
+                self._n, self._rows = name, rows
+
+            @property
+            def name(self):
+                return self._n
+
+            def get(self, q, p):
+                return [SE.Candidate(id=i, score=s, source=self._n)
+                        for i, s in self._rows]
+
+        class Boom(SE.CandidateSource):
+            def get(self, q, p):
+                raise RuntimeError("engine down")
+
+        uni = SE.UnifiedEngine([
+            Fixed("a", [(1, 0.9), (2, 0.5)]),
+            Fixed("b", [(2, 0.8), (3, 0.4)]),
+            Boom(),
+        ], max_results=10)
+        got = uni.get(object(), None)
+        assert [c.id for c in got] == [1, 2, 3]
+        two = next(c for c in got if c.id == 2)
+        assert two.score == 0.8  # best copy kept
+        assert two.features["unified_sources"] == ["a", "b"]
+        assert all(c.source == "Unified" for c in got)

@@ -113,6 +113,10 @@ class SourceWorld:
     # pinned-tweet → related-creator producer embeddings
     pinned_tweet_author_fn: Optional[Callable] = None  # tweet_id -> author_id
     producer_embedding_by_id_fn: Optional[Callable] = None  # author -> emb
+    # r3 engine variants: TwHIN user table for collab-filter, and a
+    # similar-consumer seed provider (RealGraph top-K / embedding kNN)
+    twhin_user_items: Any = None  # [U, D] TwHIN USER embeddings
+    similar_consumers_fn: Optional[Callable] = None  # q -> (ids, weights)
 
 
 # query-signal extractors — the USS-derived signals a spec needs
@@ -451,6 +455,25 @@ def catalog_specs() -> List[PipelineSpec]:
               w.qig_ids, w.qig_scores,
               lambda q: q.last_searched_tweet_id,
               name="QigSearchHistoryTweets")),
+        # -- r3 engine variants (cr-mixer similarity_engine breadth)
+        S("twhin_collab_filter", "twhin", ("consumer",),
+          ("twhin_user_items", "uteg_graph", "twhin_user_vec_fn"),
+          lambda w: se.TwhinCollabFilterEngine(
+              w.twhin_user_items, w.uteg_graph, w.twhin_user_vec_fn,
+              name="TwhinCollabFilter")),
+        S("consumers_based_utg", "graph", ("consumer",),
+          ("utg_left", "similar_consumers_fn"),
+          lambda w: se.ConsumersBasedUTGEngine(
+              w.utg_left, w.similar_consumers_fn,
+              name="ConsumersBasedUserTweetGraph")),
+        S("tweet_based_unified", "unified", ("source_tweet",),
+          ("utg_left", "utg_right", "qig_ids", "qig_scores"),
+          lambda w: se.UnifiedEngine([
+              se.UTGEngine(w.utg_left, w.utg_right,
+                           lambda q: _source_tweet(q), name="UTG"),
+              se.QIGEngine(w.qig_ids, w.qig_scores,
+                           lambda q: _source_tweet(q), name="QIG"),
+          ], name="TweetBasedUnified")),
         S("diffusion", "diffusion", ("consumer",),
           ("diffusion_index", "sann_config", "interested_in_fn"),
           lambda w: se.DiffusionEngine(

@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -427,3 +428,136 @@ class UTGEngine(CandidateSource):
         for i, c in enumerate(cands):
             c.features["cooccurrence"] = float(cooc_np[i])
         return cands
+
+
+class ConsumersBasedUTGEngine(CandidateSource):
+    """Similar-consumer engagement retrieval ≡
+    ``ConsumersBasedUserTweetGraphSimilarityEngine`` (and the
+    ``ConsumersBasedUserVideoGraph`` variant via ``candidate_mask``-capable
+    seeds): instead of the viewer's follows, the traversal seeds are
+    *similar consumers* (e.g. RealGraph top-K or embedding neighbors) — the
+    same left-seeded aggregation as UTEG over a different seed set."""
+
+    def __init__(
+        self,
+        graph: uteg_mod.EngagementGraph,
+        similar_consumers_fn: Callable[[Any], tuple],  # q -> (ids, weights)
+        max_results: int = 200,
+        min_social_proof: int = 1,
+        name: str = "ConsumersBasedUserTweetGraph",
+    ):
+        self.graph = graph
+        self.similar_consumers_fn = similar_consumers_fn
+        self.max_results = max_results
+        self.min_social_proof = min_social_proof
+        self._name = name
+
+    @property
+    def name(self):
+        return self._name
+
+    def get(self, query, params) -> List[Candidate]:
+        seed_ids, seed_weights = self.similar_consumers_fn(query)
+        ids, scores, proof = uteg_mod.recommend(
+            self.graph,
+            jnp.asarray(seed_ids, jnp.int32),
+            jnp.asarray(seed_weights, jnp.float32),
+            max_results=self.max_results,
+            min_social_proof=self.min_social_proof,
+        )
+        cands = _to_candidates(ids, scores, self.name)
+        proof_np = np.asarray(proof)
+        for i, c in enumerate(cands):
+            c.features["social_proof"] = float(proof_np[i])
+        return cands
+
+
+class TwhinCollabFilterEngine(CandidateSource):
+    """Two-stage TwHIN collaborative filtering ≡
+    ``TwhinCollabFilterSimilarityEngine.scala``: (1) the viewer's TwHIN
+    embedding retrieves the K most-similar *users* (one [U, D] matmul +
+    top-K on the MXU); (2) those users' recent engagement-graph tweets
+    aggregate weighted by user similarity — the same math as the reference's
+    cluster-to-member expansion, fused into two device calls."""
+
+    def __init__(
+        self,
+        user_embeddings: jnp.ndarray,  # [U, D] TwHIN user table
+        engagement_graph: uteg_mod.EngagementGraph,  # rows align with ^
+        user_vec_fn: Callable[[Any], jnp.ndarray],  # query -> [D]
+        similar_users: int = 16,
+        max_results: int = 200,
+        name: str = "TwhinCollabFilter",
+    ):
+        self.user_embeddings = user_embeddings
+        self.graph = engagement_graph
+        self.user_vec_fn = user_vec_fn
+        self.similar_users = similar_users
+        self.max_results = max_results
+        self._name = name
+
+    @property
+    def name(self):
+        return self._name
+
+    def get(self, query, params) -> List[Candidate]:
+        v = jnp.asarray(self.user_vec_fn(query))
+        sims = self.user_embeddings @ v  # [U]
+        k = min(self.similar_users, sims.shape[0])
+        top_sims, top_users = jax.lax.top_k(sims, k)
+        # similarity-weighted left-seeded aggregation over their engagements
+        ids, scores, proof = uteg_mod.recommend(
+            self.graph,
+            top_users.astype(jnp.int32),
+            jnp.maximum(top_sims, 0.0),
+            max_results=self.max_results,
+            min_social_proof=1,
+        )
+        cands = _to_candidates(ids, scores, self.name)
+        proof_np = np.asarray(proof)
+        for i, c in enumerate(cands):
+            c.features["social_proof"] = float(proof_np[i])
+        return cands
+
+
+class UnifiedEngine(CandidateSource):
+    """Multi-engine union ≡ ``TweetBasedUnifiedSimilarityEngine`` /
+    ``ProducerBasedUnifiedSimilarityEngine``: fan the query out to several
+    sub-engines (SANN / UTG / UVG / QIG …), interleave-blend their ranked
+    lists, and dedup keeping the best-scoring copy with its contributing
+    sources recorded — the cr-mixer "unified" wrapper."""
+
+    def __init__(self, engines: List[CandidateSource],
+                 max_results: int = 200, name: str = "Unified"):
+        self.engines = list(engines)
+        self.max_results = max_results
+        self._name = name
+
+    @property
+    def name(self):
+        return self._name
+
+    def get(self, query, params) -> List[Candidate]:
+        from the_algorithm_tpu.mixers.tweet_mixer import interleave_blend
+
+        per: List[List[Candidate]] = []
+        contributors: dict = {}
+        for eng in self.engines:
+            try:
+                got = eng.get(query, params)
+            except Exception:
+                got = []  # fail-open per sub-engine
+            for c in got:
+                contributors.setdefault(c.id, set()).add(c.source)
+            per.append(got)
+        blended = interleave_blend(per, self.max_results * 2)
+        best: dict = {}
+        for c in blended:
+            prev = best.get(c.id)
+            if prev is None or (c.score or 0.0) > (prev.score or 0.0):
+                best[c.id] = c
+        out = sorted(best.values(), key=lambda c: -(c.score or 0.0))
+        for c in out:
+            c.features["unified_sources"] = sorted(contributors[c.id])
+            c.source = self._name
+        return out[: self.max_results]
