@@ -223,6 +223,19 @@ def main():
           f"entries (cursors {ftl.top_cursor}..{ftl.bottom_cursor}), "
           f"ListTweets={len(ltl.entries)} entries")
     assert ftl.entries and ltl.entries
+
+    # URT decoration + marshalling: typed wire response for the For You
+    # mixer output; the chron products reuse the same marshaller
+    from the_algorithm_tpu.pipeline import urt
+
+    resp = urt.marshal_timeline(tl)
+    f_resp = urt.marshal_timeline(ftl)
+    n_items = len(resp.entries())
+    assert n_items and f_resp.entries()
+    kinds = {e["content"]["kind"] for e in resp.entries()}
+    print(f"URT: For You response {n_items} entries (kinds={sorted(kinds)}, "
+          f"{len(resp.to_json())} wire bytes); Following reuses marshaller "
+          f"({len(f_resp.entries())} entries)")
     print("FULL STACK OK")
 
 
