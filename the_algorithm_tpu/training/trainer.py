@@ -159,22 +159,57 @@ class Trainer:
                 self.stats.stat(f"train/{k}", float(v))
         return aux
 
+    def _prefetch(self, batches: Iterator[Any], depth: int) -> Iterator[Any]:
+        """Overlapped host→device input feed: a feeder thread parses the
+        next batches and device_puts them (sharded) while the current step
+        runs on the device — the tf.data input overlap of twml's
+        DataRecordTrainer (``data_record_trainer.py:533``), which the r2
+        synchronous per-step loop lacked."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+        sentinel = object()
+
+        def feeder():
+            try:
+                for b in batches:
+                    q.put(self.shard_batch(b))
+                q.put(sentinel)
+            except BaseException as e:  # surface feeder errors in-loop
+                q.put((sentinel, e))
+
+        threading.Thread(target=feeder, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and \
+                    item[0] is sentinel:
+                raise item[1]
+            yield item
+
     def fit(
         self,
         batches: Iterator[Any],
         num_steps: int,
         eval_fn: Optional[Callable[[Any], Dict[str, float]]] = None,
         eval_every: Optional[int] = None,
+        prefetch: int = 2,
     ) -> Dict[str, float]:
         """≡ ``Trainer.learn`` / ``train_and_evaluate`` (trainer.py:946,1194).
 
         When ``config.eval_metric`` is set, each eval updates the
         best-step/best-metric bookkeeping (and checkpoints improvements);
         ``early_stopping_patience`` evals without improvement end the loop.
+        ``prefetch`` > 0 overlaps input parsing + host→device transfer with
+        the device step (set 0 for strictly synchronous feeding).
         """
         cfg = self.config
         last: Dict[str, Any] = {}
         stale_evals = 0
+        if prefetch:
+            batches = self._prefetch(batches, prefetch)
         for _ in range(num_steps):
             batch = next(batches)
             last = self.train_step(batch)
