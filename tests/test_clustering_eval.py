@@ -149,3 +149,74 @@ class TestEvaluation:
             np.sort(np.abs(true))[::-1],
             rtol=1e-3,
         )
+
+
+class TestLocaleAndTfgEmbeddings:
+    """r3 locale/TFG variants (scalding/embedding/Locale*, tfg/FavTfg…)."""
+
+    def _interests(self, U=6, K=2, C=8):
+        import numpy as np
+
+        ids = np.zeros((U, K), np.int32)
+        sc = np.zeros((U, K), np.float32)
+        for u in range(U):
+            ids[u, 0] = u % C
+            sc[u, 0] = 1.0
+            ids[u, 1] = int(PAD_ID)
+        return SparseEmbedding(jnp.asarray(ids), jnp.asarray(sc))
+
+    def test_locale_embeddings_are_per_locale(self):
+        import numpy as np
+
+        from the_algorithm_tpu.simclusters import entity_embeddings as ee
+
+        interests = self._interests()
+        # entity 0 engaged by user 1 in locale 0 and user 2 in locale 1
+        emb = ee.locale_entity_embeddings(
+            jnp.asarray([0, 0], jnp.int32), jnp.asarray([0, 1], jnp.int32),
+            jnp.asarray([1, 2], jnp.int32), jnp.ones(2, jnp.float32),
+            interests, num_entities=2, num_locales=2, num_clusters=8,
+            top_k=4,
+        )
+        r0 = ee.locale_row(0, 0, 2)
+        r1 = ee.locale_row(0, 1, 2)
+        ids0 = [int(i) for i in np.asarray(emb.ids[r0]) if i != int(PAD_ID)]
+        ids1 = [int(i) for i in np.asarray(emb.ids[r1]) if i != int(PAD_ID)]
+        assert ids0 == [1]  # user 1's cluster only (locale 0)
+        assert ids1 == [2]  # user 2's cluster only (locale 1)
+
+    def test_fav_tfg_log_weighting(self):
+        import numpy as np
+
+        from the_algorithm_tpu.simclusters import entity_embeddings as ee
+
+        interests = self._interests()
+        # same topic, two users with fav counts 1 vs e^3-1: log1p weights
+        emb = ee.fav_tfg_topic_embeddings(
+            jnp.asarray([0, 0], jnp.int32), jnp.asarray([0, 0], jnp.int32),
+            jnp.asarray([1, 2], jnp.int32),
+            jnp.asarray([np.e - 1.0, np.e**3 - 1.0], jnp.float32),
+            interests, num_topics=1, num_locales=1, num_clusters=8,
+            top_k=4,
+        )
+        sc = np.asarray(emb.scores[0])
+        ids = np.asarray(emb.ids[0])
+        s1 = float(sc[list(ids).index(1)])
+        s2 = float(sc[list(ids).index(2)])
+        # weights 1 vs 3 → after L2 normalization ratio 3 preserved
+        np.testing.assert_allclose(s2 / s1, 3.0, rtol=1e-4)
+
+    def test_reverse_cluster_index(self):
+        import numpy as np
+
+        from the_algorithm_tpu.simclusters import entity_embeddings as ee
+
+        ids = jnp.asarray([[1, int(PAD_ID)], [1, 2]], jnp.int32)  # 2 entities
+        sc = jnp.asarray([[0.9, 0.0], [0.5, 0.7]], jnp.float32)
+        rev = ee.reverse_cluster_index(
+            SparseEmbedding(ids, sc), num_clusters=4, top_m=2)
+        # cluster 1: entity 0 (0.9) then entity 1 (0.5)
+        np.testing.assert_array_equal(np.asarray(rev.ids[1]), [0, 1])
+        # cluster 2: only entity 1
+        assert int(rev.ids[2][0]) == 1
+        assert int(rev.ids[2][1]) == int(PAD_ID)

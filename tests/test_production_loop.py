@@ -109,7 +109,7 @@ class TestProductionLoop:
         feats, labels = lb.build_training_examples(
             served_lines, actions, feature_fn
         )
-        assert feats.shape == (15, 30) and labels.shape == (15, 15)
+        assert feats.shape == (15, len(fs.EB_DOC_FEATURES)) and labels.shape == (15, 15)
         fav_col = lb.HEAD_NAMES.index("fav")
         assert labels[:, fav_col].sum() == 2.0  # exactly the two favs
 
@@ -120,7 +120,8 @@ class TestProductionLoop:
         )
         records = []
         for r in range(feats.shape[0]):
-            cont = {int(fids[j]): float(feats[r, j]) for j in range(30)}
+            cont = {int(fids[j]): float(feats[r, j])
+                    for j in range(len(fids))}
             labs = {int(lids[h]): float(labels[r, h])
                     for h in range(15) if labels[r, h]}
             records.append((cont, labs))

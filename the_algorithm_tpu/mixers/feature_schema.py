@@ -223,17 +223,15 @@ class ColumnarFeatureHydrator:
 # Family constants are shared with mixers/wide_hydrators.py so the schema and
 # the hydrator outputs can never drift apart.
 
-EB_DOC_FEATURES = (
-    "fav_count", "reply_count", "retweet_count", "quote_count",
-    "bookmark_count", "created_ts", "text_score", "user_rep",
-    "has_image", "has_video", "has_card", "has_url", "is_reply",
-    "is_retweet", "is_quote", "num_hashtags", "num_mentions",
-    "link_language", "language_match", "prev_user_tweet_engagement",
-    "from_verified_account", "is_trend_tweet", "has_multiple_media",
-    "tweet_age_hours", "parus_score", "from_blue_verified_account",
-    "num_likes_root", "num_replies_root", "conversation_depth",
-    "is_self_thread",
-)
+def _eb_doc_features() -> Tuple[str, ...]:
+    """The earlybird index's per-doc schema IS the eb_* serve family —
+    imported so the two can never drift."""
+    from the_algorithm_tpu.search.earlybird import DOC_FEATURES
+
+    return DOC_FEATURES
+
+
+EB_DOC_FEATURES = _eb_doc_features()
 ENGAGEMENT_LABELS = (
     "fav", "reply", "retweet", "quote", "click", "profile_click",
     "video_view", "share", "bookmark", "dwell", "open_link", "screenshot",

@@ -49,25 +49,44 @@ def tokenize(text: str, max_tokens: int) -> np.ndarray:
 
 
 # doc-feature schema — the Earlybird schema core (``common/schema/``,
-# ThriftSearchResultFeatures): 30 per-doc fields covering engagement counts,
-# content flags, text/language signals, author reputation, and conversation
-# structure. Count fields get log1p'd at scoring time.
+# ThriftSearchResultFeatures / EarlybirdFieldConstants): 60 per-doc fields
+# covering engagement counts (+v2/decayed variants), content flags, media
+# breadth, text/language signals, author reputation + account state, URL
+# and embed signals, health-model scores, and conversation structure.
+# Count fields get log1p'd at scoring time.
 DOC_FEATURES = (
+    # engagement counters (+ the v2 decayed variants the schema carries)
     "fav_count", "reply_count", "retweet_count", "quote_count",
-    "bookmark_count", "created_ts", "text_score", "user_rep",
-    "has_image", "has_video", "has_card", "has_url", "is_reply",
-    "is_retweet", "is_quote", "num_hashtags", "num_mentions",
-    "link_language", "language_match", "prev_user_tweet_engagement",
-    "from_verified_account", "is_trend_tweet", "has_multiple_media",
-    "tweet_age_hours", "parus_score", "from_blue_verified_account",
-    "num_likes_root", "num_replies_root", "conversation_depth",
-    "is_self_thread",
+    "bookmark_count", "fav_count_v2", "reply_count_v2", "retweet_count_v2",
+    "prev_user_tweet_engagement", "num_likes_root", "num_replies_root",
+    "video_view_count", "embeds_impression_count", "embeds_url_count",
+    # doc structure / time
+    "created_ts", "tweet_age_hours", "conversation_depth", "is_self_thread",
+    "is_reply", "is_retweet", "is_quote", "has_quote",
+    # text / language
+    "text_score", "word_count", "visible_token_ratio", "language_match",
+    "link_language", "language_confidence", "num_hashtags", "num_mentions",
+    "num_stocks", "has_multiple_hashtags_or_trends", "is_trend_tweet",
+    # media / content breadth
+    "has_image", "has_native_image", "has_video", "has_consumer_video",
+    "has_pro_video", "has_card", "has_multiple_media",
+    "is_composer_source_camera",
+    # urls / embeds
+    "has_url", "has_news_url", "has_expanded_url", "has_visible_link",
+    # author reputation / state
+    "user_rep", "from_verified_account", "from_blue_verified_account",
+    "author_followers_log", "author_account_age_days", "is_user_spam",
+    "is_user_nsfw", "is_user_bot", "is_nullcast",
+    # health / safety model scores (the experimental health model slots)
+    "parus_score", "toxicity_score", "pblock_score", "pspammy_score",
+    "is_offensive", "is_sensitive_content",
 )
 DOC_FEATURE_INDEX = {n: i for i, n in enumerate(DOC_FEATURES)}
 _COUNT_FIELDS = (
     "fav_count", "reply_count", "retweet_count", "quote_count",
-    "bookmark_count", "prev_user_tweet_engagement", "num_likes_root",
-    "num_replies_root",
+    "bookmark_count", "fav_count_v2", "reply_count_v2", "retweet_count_v2",
+    "prev_user_tweet_engagement", "num_likes_root", "num_replies_root",
+    "video_view_count", "embeds_impression_count", "embeds_url_count",
 )
 
 
@@ -633,6 +652,28 @@ class RawTweet:
     conversation_depth: int = 0
     is_self_thread: bool = False
     prev_user_tweet_engagement: float = 0.0
+    # r3 schema-breadth fields (ThriftSearchResultFeatures parity)
+    video_view_count: int = 0
+    embeds_impression_count: int = 0
+    embeds_url_count: int = 0
+    has_native_image: bool = False
+    has_consumer_video: bool = False
+    has_pro_video: bool = False
+    is_composer_source_camera: bool = False
+    has_news_url: bool = False
+    has_expanded_url: bool = False
+    author_followers: int = 0
+    author_account_age_days: float = 0.0
+    is_user_spam: bool = False
+    is_user_nsfw: bool = False
+    is_user_bot: bool = False
+    is_nullcast: bool = False
+    toxicity_score: float = 0.0
+    pblock_score: float = 0.0
+    pspammy_score: float = 0.0
+    is_offensive: bool = False
+    is_sensitive_content: bool = False
+    language_confidence: float = 1.0
 
 
 def _hash_term(term: str) -> int:
@@ -704,6 +745,39 @@ def build_documents(
             "num_replies_root": t.num_replies_root,
             "conversation_depth": t.conversation_depth,
             "is_self_thread": t.is_self_thread,
+            # r3 schema-breadth fill
+            "fav_count_v2": t.fav_count,  # v2 = decayed; equal at ingest
+            "reply_count_v2": t.reply_count,
+            "retweet_count_v2": t.retweet_count,
+            "video_view_count": t.video_view_count,
+            "embeds_impression_count": t.embeds_impression_count,
+            "embeds_url_count": t.embeds_url_count,
+            "has_quote": t.is_quote,
+            "word_count": len(words),
+            "visible_token_ratio": uniq_ratio,
+            "language_confidence": t.language_confidence,
+            "num_stocks": len(re.findall(r"\$[a-z]", t.text.lower())),
+            "has_multiple_hashtags_or_trends":
+                sum(1 for w in words if w.startswith("#")) > 1
+                or t.is_trend_tweet,
+            "has_native_image": t.has_native_image or t.has_image,
+            "has_consumer_video": t.has_consumer_video,
+            "has_pro_video": t.has_pro_video,
+            "is_composer_source_camera": t.is_composer_source_camera,
+            "has_news_url": t.has_news_url,
+            "has_expanded_url": t.has_expanded_url or bool(urls),
+            "has_visible_link": bool(urls),
+            "author_followers_log": float(np.log1p(t.author_followers)),
+            "author_account_age_days": t.author_account_age_days,
+            "is_user_spam": t.is_user_spam,
+            "is_user_nsfw": t.is_user_nsfw,
+            "is_user_bot": t.is_user_bot,
+            "is_nullcast": t.is_nullcast,
+            "toxicity_score": t.toxicity_score,
+            "pblock_score": t.pblock_score,
+            "pspammy_score": t.pspammy_score,
+            "is_offensive": t.is_offensive,
+            "is_sensitive_content": t.is_sensitive_content,
         }
         for n, v in row.items():
             if DOC_FEATURE_INDEX.get(n, F) < F:

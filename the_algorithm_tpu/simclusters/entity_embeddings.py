@@ -57,3 +57,85 @@ def entity_embeddings_from_engagements(
     ids = jnp.where(scores > 0, cids.astype(jnp.int32), PAD_ID)
     scores = jnp.where(scores > 0, scores, 0.0)
     return SparseEmbedding(ids, scores)
+
+
+# -- locale variants ----------------------------------------------------------
+#
+# ≡ ``scalding/embedding/Locale*`` (LocaleEntitySimClustersEmbeddingV2Job):
+# entities get one embedding PER LOCALE, aggregated only from engagements in
+# that language — the per-market semantic-core/topic serving rows. TPU
+# shape: (entity, locale) composite keys feed the same scatter-add program;
+# nothing per-locale is a separate job.
+
+
+def locale_entity_embeddings(
+    entity_ids: jnp.ndarray,  # [B]
+    locale_ids: jnp.ndarray,  # [B] int32 language of the engagement
+    user_ids: jnp.ndarray,  # [B]
+    event_weights: jnp.ndarray,  # [B]
+    user_interests: SparseEmbedding,
+    *,
+    num_entities: int,
+    num_locales: int,
+    num_clusters: int,
+    top_k: int = 50,
+    l2_normalize: bool = True,
+) -> SparseEmbedding:
+    """[E·L, top_k] — row ``e * num_locales + l`` is entity e's embedding in
+    locale l (use :func:`locale_row` to address it)."""
+    composite = entity_ids * num_locales + locale_ids
+    return entity_embeddings_from_engagements(
+        composite, user_ids, event_weights, user_interests,
+        num_entities=num_entities * num_locales,
+        num_clusters=num_clusters, top_k=top_k, l2_normalize=l2_normalize,
+    )
+
+
+def locale_row(entity_id: int, locale_id: int, num_locales: int) -> int:
+    return int(entity_id) * int(num_locales) + int(locale_id)
+
+
+def fav_tfg_topic_embeddings(
+    topic_ids: jnp.ndarray,  # [B] topic of the faved tweet
+    locale_ids: jnp.ndarray,  # [B]
+    user_ids: jnp.ndarray,  # [B] faver
+    fav_counts: jnp.ndarray,  # [B] fav weight of the event
+    user_interests: SparseEmbedding,
+    *,
+    num_topics: int,
+    num_locales: int,
+    num_clusters: int,
+    top_k: int = 50,
+) -> SparseEmbedding:
+    """≡ ``tfg/FavTfgBasedTopicEmbeddings.scala``: Topic-Follow-Graph topic
+    embeddings from fav events on topic-tagged tweets, log-fav weighted
+    (the job's favScore dampening), per locale."""
+    weights = jnp.log1p(jnp.maximum(fav_counts.astype(jnp.float32), 0.0))
+    return locale_entity_embeddings(
+        topic_ids, locale_ids, user_ids, weights, user_interests,
+        num_entities=num_topics, num_locales=num_locales,
+        num_clusters=num_clusters, top_k=top_k,
+    )
+
+
+def reverse_cluster_index(
+    embeddings: SparseEmbedding,  # [E, K] entity embeddings
+    *,
+    num_clusters: int,
+    top_m: int,
+) -> SparseEmbedding:
+    """cluster → top-M entities by embedding score — the serving-side
+    reverse index every embedding job also materializes (top-K producers /
+    entities per cluster, ``ProducerEmbeddingsFromInterestedIn`` reverse
+    dataset)."""
+    E, K = embeddings.ids.shape
+    valid = embeddings.ids != PAD_ID
+    flat_c = jnp.where(valid, embeddings.ids, 0).reshape(-1)
+    flat_s = jnp.where(valid, embeddings.scores, 0.0).reshape(-1)
+    flat_e = jnp.broadcast_to(
+        jnp.arange(E, dtype=jnp.int32)[:, None], (E, K)).reshape(-1)
+    dense = jnp.zeros((num_clusters, E), jnp.float32)
+    dense = dense.at[flat_c, flat_e].max(flat_s)
+    scores, eids = jax.lax.top_k(dense, min(top_m, E))
+    ids = jnp.where(scores > 0, eids.astype(jnp.int32), PAD_ID)
+    return SparseEmbedding(ids, jnp.where(scores > 0, scores, 0.0))
