@@ -169,7 +169,16 @@ def exact_topk(queries_ids, queries_scores, tweet_ids, tweet_scores, k):
         return jax.lax.top_k(scores, k)
 
     _, top_ids = score_all(qd, ti, tsc, tn)
-    return np.asarray(top_ids)  # the fetch is the sync
+    ids_np = np.asarray(top_ids)  # the fetch is the sync
+
+    # product-grade EXACT mode throughput: the same brute-force cosine scan
+    # offered as a serving option (recall 1.0 by construction — the
+    # "beat the reference recall" lever a corpus-in-HBM design buys)
+    def run(_):
+        return score_all(qd, ti, tsc, tn)
+
+    dt = _steady_state(run, None, reps=3)
+    return ids_np, Q / dt
 
 
 def _materialize(out):
@@ -220,7 +229,7 @@ def bench_ranking():
         probs = jax.nn.sigmoid(model.apply(params, x))
         return masknet.weighted_model_score(probs, weights)
 
-    B = 16384  # MFU rises with batch: 0.36 @ 4k -> 0.59 @ 16k on v5e
+    B = 32768  # MFU rises with batch: 0.36 @ 4k -> 0.59 @ 16k -> measured @ 32k on v5e
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(B, cfg.num_features)).astype(np.float32)
     )
@@ -246,7 +255,7 @@ def bench_training():
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
 
-    B = 8192  # training MFU 0.52 @ 4k -> 0.58 @ 8k on v5e
+    B = 16384  # training MFU 0.52 @ 4k -> 0.58 @ 8k -> measured @ 16k on v5e
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(B, cfg.num_features)).astype(np.float32))
     y = jnp.asarray(
@@ -387,6 +396,7 @@ def bench_foryou(sann_ids, sann_scores, sann_dt_per_request):
     NOW = 10_000_000
 
     # -- earlybird realtime index on TPU -----------------------------------
+    accel = jax.devices()[0]
     ecfg = eb.EarlybirdConfig(capacity=EB_DOCS, max_tokens=8)
     eindex = eb.init_index(ecfg)
     toks = np.stack([
@@ -401,6 +411,11 @@ def bench_foryou(sann_ids, sann_scores, sann_dt_per_request):
         eindex, jnp.asarray(toks), jnp.asarray(e_authors),
         jnp.asarray(e_ts), jnp.asarray(e_feats), jnp.asarray(e_ids),
     )
+    # COMMIT the serving structures to the accelerator: request handling
+    # below runs under default_device(cpu) so the host feature store math
+    # stays local, and committed-TPU operands pin the search/graph/model
+    # programs to the chip
+    eindex = jax.device_put(eindex, accel)
     EB_K = 100
     FOLLOW_W = 64
 
@@ -427,6 +442,7 @@ def bench_foryou(sann_ids, sann_scores, sann_dt_per_request):
         jnp.asarray(
             np.sort(rng.integers(NOW - 86400, NOW, n_ev)), jnp.int32),
     )
+    graph = jax.device_put(graph, accel)
     UTEG_K = 50
     N_SEEDS = 8
 
@@ -526,8 +542,8 @@ def bench_foryou(sann_ids, sann_scores, sann_dt_per_request):
         dtype=("bfloat16" if jax.default_backend() == "tpu" else "float32"),
     )
     model = masknet.MaskNet(mcfg)
-    mparams = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, F), jnp.float32))
+    mparams = jax.device_put(model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, F), jnp.float32)), accel)
     predict = jax.jit(
         lambda p, x: jax.nn.sigmoid(model.apply(p, x)))
     PB = 512  # fixed scoring batch (one compile; ~350 live candidates/req)
@@ -539,7 +555,8 @@ def bench_foryou(sann_ids, sann_scores, sann_dt_per_request):
         scored_counts.append(B)
         xp = np.zeros((PB, F), np.float32)
         xp[:min(B, PB)] = x[:PB]
-        return np.asarray(predict(mparams, jnp.asarray(xp)))[:B]
+        return np.asarray(predict(
+            mparams, jax.device_put(jnp.asarray(xp), accel)))[:B]
 
     pipeline = home_mixer.build_for_you_pipeline(
         candidate_pipelines=[
@@ -552,12 +569,20 @@ def bench_foryou(sann_ids, sann_scores, sann_dt_per_request):
         feature_schema=fsch.WIDE_SCHEMA,
     )
 
+    import contextlib
+
     def run_request(u):
-        return pipeline.run(home_mixer.ForYouQuery(
-            user_id=u, followed_authors=[int(a) for a in follows[u]
-                                         if a != int(PAD_ID)],
-            max_results=50, now=NOW,
-        ))
+        # host feature store math on the local CPU device; the committed
+        # TPU structures keep retrieval + scoring on the chip (the
+        # JVM-hydrators + accelerator-model split of the reference)
+        ctx = (jax.default_device(cpu) if cpu is not None
+               else contextlib.nullcontext())
+        with ctx:
+            return pipeline.run(home_mixer.ForYouQuery(
+                user_id=u, followed_authors=[int(a) for a in follows[u]
+                                             if a != int(PAD_ID)],
+                max_results=50, now=NOW,
+            ))
 
     # warm: compile the three TPU programs + host paths
     warm = run_request(0)
@@ -632,7 +657,8 @@ def main():
     except Exception:
         sharded_qps = None
 
-    truth = exact_topk(q_ids, q_scores, tweet_ids, tweet_scores, K_RECALL)
+    truth, exact_qps = exact_topk(
+        q_ids, q_scores, tweet_ids, tweet_scores, K_RECALL)
     recall = float(
         metrics.recall_at_k(
             jnp.asarray(np.asarray(ids_out)[:, :K_RECALL]),
@@ -691,6 +717,9 @@ def main():
                 "vs_baseline": round(qps / 6000.0, 3),
                 "recall_at_100": round(recall, 4),
                 "oracle_parity_recall": round(oracle_parity, 4),
+                # exact brute-force cosine over the full 2M corpus as a
+                # product mode: recall 1.0 by construction at this rate
+                "exact_scan_queries_per_s": round(exact_qps, 1),
                 "sharded_queries_per_s": (
                     round(sharded_qps, 1) if sharded_qps else None
                 ),

@@ -158,10 +158,54 @@ def sann_retrieval_scaling(
     return mesh_qps, single_qps
 
 
+def sann_query_sharded_scaling(
+    *, c_total: int = 16384, m: int = 64, q_per_device: int = 32,
+    n_scan: int = 16, x_res: int = 64, sizes=(1, 2, 4, 8), reps: int = 12,
+):
+    """The query-sharded fan-out (row-exchange multiget + local scan):
+    request batch grows with devices, index fixed. Total compute equals the
+    single-device batch on the same Q, so efficiency = mesh/single on the
+    same total work — directly comparable to the train-step metric."""
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, 1 << 20, (c_total, m)).astype(np.int32)
+    scores = rng.uniform(0.1, 1.0, (c_total, m)).astype(np.float32)
+    ts = np.zeros((c_total, m), np.int32)
+    index = ClusterTweetIndex(
+        jnp.asarray(ids), jnp.asarray(scores), jnp.asarray(ts))
+    cfg = ann.SimClustersANNConfig(
+        max_scan_clusters=n_scan, max_top_tweets_per_cluster=m,
+        max_num_results=x_res, scoring_algorithm=ScoringAlgorithm.COSINE,
+        max_tweet_candidate_age_hours=10**6,
+    )
+    mesh_qps, single_qps = {}, {}
+    for n in sizes:
+        Q = q_per_device * n
+        q_ids = np.stack([
+            rng.choice(c_total, n_scan, replace=False) for _ in range(Q)
+        ]).astype(np.int32)
+        q_scores = rng.uniform(0.2, 1.0, (Q, n_scan)).astype(np.float32)
+        sources = SparseEmbedding(jnp.asarray(q_ids), jnp.asarray(q_scores))
+
+        mesh = make_mesh(MeshSpec(data=1, model=n),
+                         devices=jax.devices()[:n])
+        sh_index = ann.shard_index(mesh, index)
+        fn = jax.jit(lambda idx, s: ann.get_tweet_candidates_query_sharded(
+            mesh, idx, s, cfg))
+        dt = _time(lambda: fn(sh_index, sources), reps=reps)
+        mesh_qps[n] = Q / dt
+
+        fn1 = jax.jit(
+            lambda idx, s: ann.get_tweet_candidates_batch(idx, s, cfg))
+        dt1 = _time(lambda: fn1(index, sources), reps=reps)
+        single_qps[n] = Q / dt1
+    return mesh_qps, single_qps
+
+
 def main():
     sizes = (1, 2, 4, 8)
     train_mesh, train_single = masknet_train_scaling(sizes=sizes)
     sann_mesh, sann_single = sann_retrieval_scaling(sizes=sizes)
+    qs_mesh, qs_single = sann_query_sharded_scaling(sizes=sizes)
 
     def eff(mesh_d, single_d):
         return {str(n): round(mesh_d[n] / single_d[n], 4) for n in mesh_d}
@@ -199,6 +243,16 @@ def main():
             "efficiency_compute_normalized": {
                 str(n): round(n * sann_mesh[n] / sann_single[n], 4)
                 for n in sann_mesh},
+        },
+        "sann_query_sharded": {
+            # the scaling-book shape: request batch shards over devices,
+            # rows arrive via the all-to-all multiget — total compute
+            # matches the single-device batch, so plain mesh/single applies
+            "queries_per_s_mesh": {str(n): round(v, 1)
+                                   for n, v in qs_mesh.items()},
+            "queries_per_s_single_same_work": {
+                str(n): round(v, 1) for n, v in qs_single.items()},
+            "efficiency": eff(qs_mesh, qs_single),
         },
         "devices": jax.device_count(),
         "platform": jax.default_backend(),

@@ -354,3 +354,45 @@ class TestFetchClusterRows:
         np.testing.assert_array_equal(np.asarray(rows.tweet_ids), ids[c])
         np.testing.assert_allclose(np.asarray(rows.scores), scores[c], rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(rows.timestamps), ts[c])
+
+
+@pytest.mark.slow
+class TestQuerySharded:
+    """Query-sharded fan-out (row-exchange multiget + local scan) must be
+    EXACT vs. the single-device batch path."""
+
+    def test_parity_with_single_device(self, mesh8):
+        rng = np.random.default_rng(5)
+        n_shards = mesh8.shape["model"]
+        C, M, N, Q, X = 32 * n_shards, 8, 6, 2 * n_shards, 12
+        from the_algorithm_tpu.ops.retrieval import ClusterTweetIndex
+
+        ids = rng.integers(0, 1 << 16, (C, M)).astype(np.int32)
+        scores = rng.uniform(0.1, 1.0, (C, M)).astype(np.float32)
+        ts = rng.integers(0, 100, (C, M)).astype(np.int32)
+        index = ClusterTweetIndex(
+            jnp.asarray(ids), jnp.asarray(scores), jnp.asarray(ts))
+        q_ids = np.stack([
+            rng.choice(C, N, replace=False) for _ in range(Q)
+        ]).astype(np.int32)
+        q_scores = rng.uniform(0.2, 1.0, (Q, N)).astype(np.float32)
+        sources = SparseEmbedding(jnp.asarray(q_ids), jnp.asarray(q_scores))
+        cfg = ann.SimClustersANNConfig(
+            max_scan_clusters=N, max_top_tweets_per_cluster=M,
+            max_num_results=X, max_tweet_candidate_age_hours=10**6,
+        )
+        want_ids, want_scores = ann.get_tweet_candidates_batch(
+            index, sources, cfg)
+        sh_index = ann.shard_index(mesh8, index)
+        got_ids, got_scores = ann.get_tweet_candidates_query_sharded(
+            mesh8, sh_index, sources, cfg)
+        for q in range(Q):
+            w = {int(i): float(s) for i, s in
+                 zip(np.asarray(want_ids[q]), np.asarray(want_scores[q]))
+                 if int(i) != int(PAD_ID)}
+            g = {int(i): float(s) for i, s in
+                 zip(np.asarray(got_ids[q]), np.asarray(got_scores[q]))
+                 if int(i) != int(PAD_ID)}
+            assert set(w) == set(g), q
+            for k in w:
+                np.testing.assert_allclose(g[k], w[k], rtol=1e-5)

@@ -57,6 +57,19 @@ _KIND_FNS = {
 }
 
 
+def feature_names(kinds: Tuple[str, ...] = ("cosine",)) -> Tuple[str, ...]:
+    """Column order of :func:`engagement_similarity_features` (for callers
+    that fetch the block as one stacked array)."""
+    out = []
+    for kind in kinds:
+        prefix = "" if kind == "cosine" else f"{kind}_"
+        for w_name in WINDOWS_S:
+            for s_name in SIGNAL_TYPES:
+                for agg in ("avg", "max", "min"):
+                    out.append(f"{prefix}{s_name}_{w_name}_{agg}")
+    return tuple(out)
+
+
 def engagement_similarity_features(
     candidates: SparseEmbedding,  # [C, K]
     engagements: EngagementSet,

@@ -208,12 +208,19 @@ class RsxColumnarHydrator(fs.ColumnarFeatureHydrator):
     def __init__(self, tweet_embedding_fn, engagement_fn):
         self._emb = tweet_embedding_fn
         self._eng = engagement_fn
-        # one compiled program for the whole kind×signal×window×agg block —
-        # eager dispatch of ~150 small ops per request costs more than the
-        # math (serving-path overhead, not FLOPs)
-        self._jitted = jax.jit(
-            lambda cand, eng, now: rsx.engagement_similarity_features(
-                cand, eng, now, kinds=rsx.SIMILARITY_KINDS))
+        self._names = None  # column order, fixed by the kernel
+
+        # one compiled program for the whole kind×signal×window×agg block,
+        # returning ONE stacked [n_cols, B] array — eager dispatch of ~150
+        # small ops per request costs more than the math, and fetching 150
+        # separate outputs costs one device→host round trip EACH on a
+        # remote/tunneled accelerator
+        def stacked(cand, eng, now):
+            block = rsx.engagement_similarity_features(
+                cand, eng, now, kinds=rsx.SIMILARITY_KINDS)
+            return jnp.stack(list(block.values()))
+
+        self._jitted = jax.jit(stacked)
 
     def hydrate_columns(self, query, ids, candidates, params):
         B = ids.shape[0]
@@ -225,9 +232,12 @@ class RsxColumnarHydrator(fs.ColumnarFeatureHydrator):
         else:
             cand_emb = self._emb(ids)
         engagements = self._eng(query.user_id)
-        block = self._jitted(
-            cand_emb, engagements, jnp.int32(getattr(query, "now", 0)))
-        return {f"rsx_{n}": np.asarray(v)[:B] for n, v in block.items()}
+        if self._names is None:
+            self._names = rsx.feature_names(kinds=rsx.SIMILARITY_KINDS)
+        mat = np.asarray(self._jitted(
+            cand_emb, engagements, jnp.int32(getattr(query, "now", 0))))
+        return {f"rsx_{n}": mat[i, :B]
+                for i, n in enumerate(self._names)}
 
 
 class EmbeddingTableColumnarHydrator(fs.ColumnarFeatureHydrator):
@@ -463,21 +473,32 @@ class UssSignalCountColumnarHydrator(fs.ColumnarFeatureHydrator):
 
 
 class GfsColumnarHydrator(fs.ColumnarFeatureHydrator):
-    """GFS two-hop intersections (canonical pairs + normalized) — 8 cols."""
+    """GFS two-hop intersections (canonical pairs + normalized) — 8 cols,
+    fetched as ONE stacked array (single device→host round trip)."""
 
     def __init__(self, tables: graph_features.GraphTables):
         self._tables = tables
+        self._names = [n for p in graph_features.FEATURE_PAIRS
+                       for n in (p, p + "_normalized")]
+        self._jitted = jax.jit(
+            lambda t, uid, cands: jnp.stack(list(
+                graph_features.feature_block(t, uid, cands).values())))
+
+    _PAD_B = 512  # fixed candidate axis so the block compiles once
 
     def hydrate_columns(self, query, ids, candidates, params):
-        block = graph_features.feature_block(
+        authors = _author_ids(candidates).clip(min=0) % self._tables.num_users
+        B = authors.shape[0]
+        if B <= self._PAD_B:
+            padded = np.zeros(self._PAD_B, np.int64)
+            padded[:B] = authors
+            authors = padded
+        mat = np.asarray(self._jitted(
             self._tables,
             jnp.int32(int(query.user_id) % self._tables.num_users),
-            jnp.asarray(
-                _author_ids(candidates).clip(min=0) % self._tables.num_users,
-                jnp.int32,
-            ),
-        )
-        return {n: np.asarray(v) for n, v in block.items()}
+            jnp.asarray(authors, jnp.int32),
+        ))
+        return {n: mat[i, :B] for i, n in enumerate(self._names)}
 
 
 class AuthorMetaColumnarHydrator(fs.ColumnarFeatureHydrator):

@@ -140,7 +140,27 @@ def accumulate_candidates(
     rows_ids = index.tweet_ids[safe_cluster, :M]  # [N, M]
     rows_scores = index.scores[safe_cluster, :M]
     rows_ts = index.timestamps[safe_cluster, :M]
+    return accumulate_from_rows(
+        rows_ids, rows_scores, rows_ts, source,
+        exclude_tweet_id=exclude_tweet_id,
+        earliest_ts=earliest_ts, latest_ts=latest_ts,
+    )
 
+
+def accumulate_from_rows(
+    rows_ids: jnp.ndarray,  # [N, M] cluster rows already fetched
+    rows_scores: jnp.ndarray,  # [N, M]
+    rows_ts: jnp.ndarray,  # [N, M]
+    source: SparseEmbedding,  # [N]
+    *,
+    exclude_tweet_id: Optional[jnp.ndarray] = None,
+    earliest_ts: Optional[jnp.ndarray] = None,
+    latest_ts: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The accumulation over rows fetched elsewhere — the multiget-then-
+    score split of the reference (rows arrive from the all-to-all row
+    exchange in the query-sharded fan-out)."""
+    src_valid = source.valid_mask()  # [N]
     valid = (rows_ids != PAD_ID) & src_valid[:, None]
     if exclude_tweet_id is not None:
         valid &= rows_ids != exclude_tweet_id

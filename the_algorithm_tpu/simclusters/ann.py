@@ -237,3 +237,96 @@ def get_tweet_candidates_sharded(
         index.tweet_ids, index.scores, index.timestamps,
         src.ids, src.scores, src_l2, src_log,
     )
+
+
+def get_tweet_candidates_query_sharded(
+    mesh: Mesh,
+    index: ClusterTweetIndex,  # cluster-row-sharded P('model', None)
+    sources: SparseEmbedding,  # [Q, N]; Q % model_shards == 0
+    config: SimClustersANNConfig,
+    *,
+    now: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Query-sharded fan-out — the scaling-book shape of the service.
+
+    :func:`get_tweet_candidates_sharded` replicates every query's scan on
+    every shard and re-merges (the Earlybird-root broadcast pattern: right
+    when the bottleneck is index size). This variant instead shards the
+    QUERY batch over 'model': each chip handles Q/n queries end-to-end,
+    fetching the cluster rows it needs from their owner shards with the
+    all-to-all row-exchange multiget (``SimClustersANNCandidateSource``'s
+    ``clusterTweetCandidatesStore.multiGet:79`` as one collective), then
+    accumulates/normalizes/top-Ks locally. Per-chip compute drops n×
+    (true weak scaling over request rate); comms per chip ≈ (Q/n)·N·M rows.
+    Exact: identical results to the single-device batch path.
+    """
+    from the_algorithm_tpu.parallel import sharded_table
+
+    n_shards = mesh.shape[MODEL_AXIS]
+    Q = sources.ids.shape[0]
+    if Q % n_shards != 0:
+        raise ValueError(f"{Q} queries not divisible by {n_shards} shards")
+    C = index.num_clusters
+    if C % n_shards != 0:
+        raise ValueError(f"{C} clusters not divisible by {n_shards} shards")
+    rps = C // n_shards
+    N = config.max_scan_clusters
+    M = min(config.max_top_tweets_per_cluster, index.tweets_per_cluster)
+    X = config.max_num_results
+
+    earliest = latest = None
+    if now is not None:
+        earliest = now - config.max_tweet_candidate_age_hours * 3600
+        latest = now - config.min_tweet_candidate_age_hours * 3600
+
+    def local(t_ids, t_scores, t_ts, src_ids, src_scores, src_l2, src_log):
+        Ql = src_ids.shape[0]
+        valid = src_ids != PAD_ID
+        flat = jnp.where(valid, src_ids, 0).reshape(-1)  # [Ql*N]
+        rows, _ = sharded_table.route_and_gather(
+            {"ids": t_ids[:, :M], "scores": t_scores[:, :M],
+             "ts": t_ts[:, :M]},
+            flat, rows_per_shard=rps,
+        )
+        r_ids = rows["ids"].reshape(Ql, N, M)
+        r_scores = rows["scores"].reshape(Ql, N, M)
+        r_ts = rows["ts"].reshape(Ql, N, M)
+
+        def one_query(ri, rs, rt, si, ss, l2, log):
+            uniq, dot, norm = retrieval.accumulate_from_rows(
+                ri, rs, rt, SparseEmbedding(si, ss),
+                earliest_ts=earliest, latest_ts=latest,
+            )
+            score = retrieval.normalize_scores(
+                dot, norm, l2, log, config.scoring_algorithm)
+            is_real = uniq != PAD_ID
+            score = jnp.where(
+                is_real & (score >= config.min_score), score, -jnp.inf)
+            ts_, ti = jax.lax.top_k(score, X)
+            return jnp.where(jnp.isfinite(ts_), uniq[ti], PAD_ID), ts_
+
+        return jax.vmap(one_query)(
+            r_ids, r_scores, r_ts, src_ids, src_scores, src_l2, src_log)
+
+    # the same truncation the single-device path applies (cluster ORDER
+    # included, so floating-point accumulation order — and therefore
+    # boundary top-K membership — matches bit-for-bit)
+    src = jax.vmap(lambda i, s: sparse.truncate(SparseEmbedding(i, s), N))(
+        sources.ids, sources.scores)
+    src_l2 = jax.vmap(sparse.l2_norm)(src)
+    src_log = jax.vmap(sparse.log_norm)(src)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(MODEL_AXIS, None), P(MODEL_AXIS, None), P(MODEL_AXIS, None),
+            P(MODEL_AXIS, None), P(MODEL_AXIS, None),
+            P(MODEL_AXIS), P(MODEL_AXIS),
+        ),
+        out_specs=(P(MODEL_AXIS, None), P(MODEL_AXIS, None)),
+        check_vma=False,
+    )
+    return fn(
+        index.tweet_ids, index.scores, index.timestamps,
+        src.ids, src.scores, src_l2, src_log,
+    )
