@@ -152,3 +152,72 @@ class TestInferenceServer:
             assert ei.value.code == 404
         finally:
             srv.close()
+
+
+class TestTimelineProductEndpoint:
+    """POST /v1/timelines/<product> → product pipeline → URT wire response
+    (the home-mixer Thrift endpoint as the HTTP edge)."""
+
+    def test_timeline_endpoint_serves_urt(self, tmp_path):
+        import urllib.request
+
+        from the_algorithm_tpu.mixers.home_products import (
+            HomeProductPipelineRegistry,
+        )
+        from the_algorithm_tpu.pipeline.component import (
+            Candidate, CandidatePipeline, CandidateSource,
+        )
+        from the_algorithm_tpu.pipeline.mixer import (
+            MixerCandidatePipeline, MixerPipeline, SortByRecency,
+        )
+
+        class Src(CandidateSource):
+            def get(self, query, params):
+                return [Candidate(id=100 + i, features={"author_id": i})
+                        for i in range(3)]
+
+        products = HomeProductPipelineRegistry()
+        products.register("following", MixerPipeline(
+            candidate_pipelines=[MixerCandidatePipeline(
+                pipeline=CandidatePipeline(source=Src()))],
+            entry_selectors=[SortByRecency()],
+        ))
+
+        class Query:
+            def __init__(self, payload):
+                self.user_id = payload.get("user_id", 0)
+                self.max_results = payload.get("max_results", 10)
+                self.features = {}
+
+        reg = ModelRegistry(str(tmp_path))
+        srv = InferenceServer(
+            reg, lambda h: (lambda x: x),
+            products=products,
+            query_builder=lambda product, payload: Query(payload),
+        )
+        srv.start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/v1/timelines/following",
+                data=json.dumps({"user_id": 7, "max_results": 5}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=10) as r:
+                body = json.loads(r.read())
+            entries = body["timeline"]["instructions"][0]["addEntries"][
+                "entries"]
+            tweet_ids = [e["content"]["item"]["id"] for e in entries
+                         if e["content"]["kind"] == "item"]
+            assert tweet_ids == [102, 101, 100]  # recency order
+            kinds = {e["content"]["kind"] for e in entries}
+            assert "cursor" in kinds
+            # unknown product → 404
+            req2 = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/v1/timelines/ghost",
+                data=b"{}", headers={"Content-Type": "application/json"},
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req2, timeout=5)
+            assert ei.value.code == 404
+        finally:
+            srv.close()

@@ -34,6 +34,8 @@ class InferenceServer:
         batcher_config: BatcherConfig = BatcherConfig(),
         stats: Optional[StatsReceiver] = None,
         densifiers: Optional[Dict[str, object]] = None,
+        products=None,  # HomeProductPipelineRegistry
+        query_builder: Optional[Callable[[str, dict], object]] = None,
     ):
         """``predict_builder(model_handle) -> batched predict fn``.
 
@@ -41,9 +43,18 @@ class InferenceServer:
         :class:`~the_algorithm_tpu.serving.segdense.RequestDensifier` —
         requests may then POST sparse ``{"records": [{name: value}, ...]}``
         (the thrift-BPR shape) instead of dense ``instances``; the segdense
-        spec densifies them in native code before batching."""
+        spec densifies them in native code before batching.
+
+        ``products`` + ``query_builder``: optional product edge — with a
+        :class:`~the_algorithm_tpu.mixers.home_products.
+        HomeProductPipelineRegistry` bound, ``POST /v1/timelines/<product>``
+        runs the product pipeline on ``query_builder(product, payload)``
+        and returns the URT-marshalled wire response (the home-mixer Thrift
+        endpoint as the HTTP edge)."""
         self.registry = registry
         self.densifiers = densifiers or {}
+        self.products = products
+        self.query_builder = query_builder
         self.stats = stats or StatsReceiver()
         self._batchers: Dict[str, DynamicBatcher] = {}
         self._batcher_versions: Dict[str, int] = {}
@@ -84,6 +95,21 @@ class InferenceServer:
 
             def do_POST(self):
                 try:
+                    if (self.path.startswith("/v1/timelines/")
+                            and server.products is not None):
+                        product = self.path[len("/v1/timelines/"):]
+                        length = int(self.headers.get("Content-Length", 0))
+                        payload = json.loads(self.rfile.read(length) or b"{}")
+                        pipeline = server.products.get(product)
+                        query = (server.query_builder(product, payload)
+                                 if server.query_builder else payload)
+                        server.stats.counter(f"timeline_requests/{product}")
+                        from the_algorithm_tpu.pipeline import urt
+
+                        tl = pipeline.run(query)
+                        self._send(200, urt.marshal_timeline(tl)
+                                   .to_json().encode())
+                        return
                     if not (
                         self.path.startswith("/v1/models/")
                         and self.path.endswith(":predict")
