@@ -201,6 +201,45 @@ def sann_query_sharded_scaling(
     return mesh_qps, single_qps
 
 
+def dcn_two_process_throughput() -> Optional[float]:
+    """Global examples/s for the DP step across TWO OS PROCESSES over the
+    loopback DCN analog (jax.distributed; 4 virtual devices each) — the
+    N≥2-hosts point of the BASELINE scaling row. Returns None if the
+    processes fail to coordinate (environment-dependent)."""
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(repo, "tests", "multihost_worker.py")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(i), "2", "bench"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        )
+        for i in range(2)
+    ]
+    eps = None
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            return None
+        m = re.search(rb"THROUGHPUT eps=([0-9.]+)", out)
+        if m:
+            eps = float(m.group(1))
+    return eps
+
+
 def main():
     sizes = (1, 2, 4, 8)
     train_mesh, train_single = masknet_train_scaling(sizes=sizes)
@@ -256,6 +295,15 @@ def main():
         },
         "devices": jax.device_count(),
         "platform": jax.default_backend(),
+    }
+    dcn_eps = dcn_two_process_throughput()
+    out["dcn_two_process"] = {
+        "train_examples_per_s_global": (
+            round(dcn_eps, 1) if dcn_eps else None),
+        "processes": 2,
+        "devices_per_process": 4,
+        "note": ("DP step across two OS processes via jax.distributed over"
+                 " loopback — the N>=2-hosts measurement point"),
     }
     print(json.dumps(out, indent=1))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -115,6 +115,29 @@ def main() -> None:
     # every process prints the same line iff the collectives agree
     print(f"RESULT lookup={lookup_sum:.4f} loss={loss:.6f} sann={sann_sum:.4f}")
 
+    # 4) optional DCN throughput mode (scaling_bench): timed DP steps with
+    # per-process local batches — the examples/s number BASELINE asks for
+    # at N≥2 hosts (here: 2 OS processes over the loopback "DCN")
+    if len(sys.argv) > 4 and sys.argv[4] == "bench":
+        import time
+
+        B_local = 512
+        bench_batch = {
+            "features": local_rng.normal(
+                size=(B_local, cfg.num_features)).astype(np.float32),
+            "labels": local_rng.integers(
+                0, 2, (B_local, cfg.num_heads)).astype(np.float32),
+        }
+        trainer.train_step(bench_batch)  # compile + warm
+        reps = 30
+        t0 = time.time()
+        for _ in range(reps):
+            out = trainer.train_step(bench_batch)
+        jax.block_until_ready(trainer.params)
+        dt = (time.time() - t0) / reps
+        global_eps = B_local * nprocs / dt
+        print(f"THROUGHPUT eps={global_eps:.1f}")
+
 
 if __name__ == "__main__":
     main()
