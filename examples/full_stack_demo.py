@@ -147,7 +147,41 @@ def main():
           f"top: {[(c.id, round(c.score, 4), c.source) for c in out.candidates[:5]]}")
     assert out.candidates, "pipeline returned nothing"
 
-    # -- wide path: the 1056-feature columnar hydration + scoring ------------
+    # -- search depth: BM25 text relevance + archive tier --------------------
+    from the_algorithm_tpu.search import persistence, root as sroot
+
+    scfg = eb.EarlybirdConfig(capacity=16, max_tokens=8)
+    sidx = eb.init_index(scfg)
+    docs = [
+        eb.RawTweet(tweet_id=100 + i, author_id=i % 4,
+                    created_ts=1000 + i * 100, text=t)
+        for i, t in enumerate([
+            "tpu mesh sharding guide",
+            "tpu notes and also mesh notes far apart",
+            "tpu only content here",
+            "unrelated gardening tips",
+            "old tpu mesh archive doc",
+        ])
+    ]
+    built = eb.build_documents(docs, scfg)
+    sidx = eb.ingest(sidx, *built[:5])
+    archive = eb.init_index(eb.EarlybirdConfig(capacity=32, max_tokens=8))
+    sidx, archive, n_rolled = persistence.roll_expired(
+        sidx, archive, now=1500, retention_s=450)  # ts<1050 rolls: doc 100
+    sr = sroot.SuperRoot([
+        sroot.Tier("realtime", sidx, min_ts=1050, max_ts=1 << 30),
+        sroot.Tier("full_archive", archive, min_ts=0, max_ts=1049),
+    ])
+    q = eb.SearchQuery(
+        tokens=jnp.asarray(eb.tokenize("tpu mesh", 8)), require_all=False,
+        min_ts=jnp.int32(0), max_ts=jnp.int32(1 << 30))
+    sids, sscores, per_tier = sr.search(q, max_results=5)
+    print(f"Search: rolled {n_rolled} doc(s) to archive; 'tpu mesh' BM25 → "
+          f"{[int(i) for i in sids]} across tiers "
+          f"{[r.tier for r in per_tier]}")
+    assert 100 in {int(i) for i in sids}  # archived doc found cross-tier
+
+    # -- wide path: the full-width columnar hydration + scoring --------------
     from the_algorithm_tpu.mixers import feature_schema as fs
     from the_algorithm_tpu.mixers import wide_hydrators as wh
 
