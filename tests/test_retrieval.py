@@ -157,3 +157,51 @@ def test_batched_matches_single():
         )
         np.testing.assert_array_equal(np.asarray(bi[q]), np.asarray(si))
         np.testing.assert_allclose(np.asarray(bs[q]), np.asarray(ss), rtol=1e-6)
+
+
+class TestExactCosineScan:
+    """Product-grade exact mode: full-corpus cosine top-K, recall 1.0 by
+    construction (the corpus-in-HBM lever over the reference's index scan)."""
+
+    def test_matches_naive_numpy(self):
+        rng = np.random.default_rng(0)
+        T, K, C, Q, N, topk = 64, 4, 32, 5, 6, 8
+        corpus_ids = rng.integers(0, C, (T, K)).astype(np.int32)
+        corpus_scores = rng.uniform(0.1, 1.0, (T, K)).astype(np.float32)
+        # pad a few rows empty
+        corpus_ids[60:] = int(PAD_ID)
+        q_ids = np.stack([rng.choice(C, N, replace=False)
+                          for _ in range(Q)]).astype(np.int32)
+        q_scores = rng.uniform(0.2, 1.0, (Q, N)).astype(np.float32)
+
+        rows, scores = retrieval.exact_cosine_scan(
+            jnp.asarray(corpus_ids), jnp.asarray(corpus_scores),
+            SparseEmbedding(jnp.asarray(q_ids), jnp.asarray(q_scores)),
+            num_clusters=C, max_results=topk, block=16,
+        )
+        rows, scores = np.asarray(rows), np.asarray(scores)
+
+        # naive dense truth
+        for q in range(Q):
+            qd = np.zeros(C, np.float64)
+            qd[q_ids[q]] = q_scores[q]
+            qd /= np.linalg.norm(qd)
+            truth = np.full(T, -np.inf)
+            for t in range(60):
+                acc = sum(float(s) * qd[c]
+                          for c, s in zip(corpus_ids[t], corpus_scores[t]))
+                truth[t] = acc / max(
+                    np.linalg.norm(corpus_scores[t].astype(np.float64)), 1e-9)
+            want = np.argsort(-truth)[:topk]
+            np.testing.assert_allclose(
+                scores[q], truth[want], rtol=1e-4)
+            assert set(rows[q].tolist()) == set(want.tolist())
+
+    def test_rejects_unaligned_corpus(self):
+        with pytest.raises(ValueError):
+            retrieval.exact_cosine_scan(
+                jnp.zeros((10, 2), jnp.int32), jnp.zeros((10, 2)),
+                SparseEmbedding(jnp.zeros((1, 2), jnp.int32),
+                                jnp.zeros((1, 2))),
+                num_clusters=4, max_results=2, block=4,
+            )

@@ -306,3 +306,63 @@ def approximate_cosine_similarity_reference(
             out.append((tid, v))
     out.sort(key=lambda kv: -kv[1])
     return out[:max_results]
+
+
+# -- exact full-corpus scan (the product-grade exact mode) ---------------------
+#
+# A TPU holding the whole tweet-embedding corpus in HBM can afford EXACT
+# cosine retrieval — recall 1.0 by construction, where the reference's
+# cluster-index scan tops out at its algorithmic recall. Densify each query
+# over the cluster axis once, then score the corpus in fixed blocks with a
+# gather + einsum (bench.py measures this mode's q/s on the 2M-tweet prod
+# corpus).
+
+
+def exact_cosine_scan(
+    corpus_ids: jnp.ndarray,  # [T, K] cluster ids per tweet (PAD padded)
+    corpus_scores: jnp.ndarray,  # [T, K]
+    sources: SparseEmbedding,  # [Q, N] sparse query embeddings
+    *,
+    num_clusters: int,
+    max_results: int,
+    block: int = 8192,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact cosine top-K over the full corpus → (rows [Q, X], scores).
+
+    Returns CORPUS ROW indices (the caller maps rows → tweet ids). T must
+    be a multiple of ``block`` (pad the corpus with PAD rows otherwise).
+    """
+    Q, _ = sources.ids.shape
+    T, K = corpus_ids.shape
+    if T % block != 0:
+        raise ValueError(f"corpus length {T} not a multiple of {block}")
+    valid_q = sources.ids != PAD_ID
+    q_dense = jnp.zeros((Q, num_clusters), jnp.float32)
+    q_dense = q_dense.at[
+        jnp.arange(Q)[:, None], jnp.where(valid_q, sources.ids, 0)
+    ].add(jnp.where(valid_q, sources.scores, 0.0))
+    q_norm = jnp.sqrt(jnp.sum(q_dense * q_dense, axis=1, keepdims=True))
+    q_dense = q_dense / jnp.maximum(q_norm, 1e-9)
+
+    valid_t = corpus_ids != PAD_ID
+    safe_ids = jnp.where(valid_t, corpus_ids, 0)
+    t_scores = jnp.where(valid_t, corpus_scores, 0.0)
+    t_norm = jnp.maximum(
+        jnp.sqrt(jnp.sum(t_scores * t_scores, axis=1)), 1e-9)
+    live_row = jnp.any(valid_t, axis=1)
+
+    def score_block(carry, start):
+        ti = jax.lax.dynamic_slice_in_dim(safe_ids, start, block, axis=0)
+        ts = jax.lax.dynamic_slice_in_dim(t_scores, start, block, axis=0)
+        tn = jax.lax.dynamic_slice_in_dim(t_norm, start, block, axis=0)
+        lv = jax.lax.dynamic_slice_in_dim(live_row, start, block, axis=0)
+        qw = q_dense[:, ti.reshape(-1)].reshape(Q, block, K)
+        s = jnp.einsum("qtk,tk->qt", qw, ts) / tn[None, :]
+        return carry, jnp.where(lv[None, :], s, -jnp.inf)
+
+    _, blocks = jax.lax.scan(
+        score_block, None, jnp.arange(0, T, block))
+    scores = jnp.moveaxis(blocks, 0, 1).reshape(Q, T)
+    top_scores, top_rows = jax.lax.top_k(scores, max_results)
+    top_rows = jnp.where(jnp.isfinite(top_scores), top_rows, -1)
+    return top_rows, top_scores
