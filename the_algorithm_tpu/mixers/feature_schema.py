@@ -243,7 +243,6 @@ AGG_HALFLIFE_NAMES = ("30m", "1d", "7d", "50d")
 # plus derived mean — the aggregation framework's metric catalog
 # (``metrics/{CountMetric,SumMetric,SumSqMetric,MaxMetric}.scala``)
 AGG_METRICS = ("count", "sum", "mean", "sumsq", "max")
-TWEET_AGG_METRICS = ("count", "sum", "mean")  # legacy alias (pre-r3 subset)
 # keyed crosses beyond user×author — all full-metric now
 PAIR_AGG_PREFIXES = (
     "user_author_oon_agg", "user_engager_agg", "user_mention_agg",
