@@ -54,7 +54,7 @@ PRODUCT_SPECS: Dict[TweetMixerProduct, ProductSpec] = {
              "twhin_tweet_similarity", "deep_retrieval_user_tweet",
              "deep_retrieval_tweet_tweet", "uteg", "utg_tweet_based",
              "utg_expansion_tweet_based", "earlybird_in_network",
-             "diffusion"),
+             "diffusion", "twhin_collab_filter", "consumers_based_utg"),
             max_results=400,
         ),
         ProductSpec(
@@ -87,7 +87,7 @@ PRODUCT_SPECS: Dict[TweetMixerProduct, ProductSpec] = {
             TweetMixerProduct.RUX_RELATED_TWEETS,
             ("simclusters_tweet_based", "twhin_tweet_similarity",
              "utg_tweet_based", "qig_search_history_tweets",
-             "deep_retrieval_tweet_tweet"),
+             "deep_retrieval_tweet_tweet", "tweet_based_unified"),
             max_results=60,
             needs_user=False,
         ),
