@@ -22,6 +22,7 @@ path (``simclusters-ann/README.md:15``).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -138,44 +139,32 @@ def build_index(tweet_ids, tweet_scores):
 
 
 def exact_topk(queries_ids, queries_scores, tweet_ids, tweet_scores, k):
-    """Brute-force cosine truth via blocked gather-matmul on device."""
-    q_dense = np.zeros((Q, C), np.float32)
-    for q in range(Q):
-        q_dense[q, queries_ids[q]] = queries_scores[q]
-    q_dense /= np.maximum(np.linalg.norm(q_dense, axis=1, keepdims=True), 1e-9)
-
-    t_norm = np.sqrt((tweet_scores**2).sum(axis=1))
-
-    qd = jnp.asarray(q_dense)
-    ti = jnp.asarray(tweet_ids)
-    tsc = jnp.asarray(tweet_scores)
-    tn = jnp.asarray(np.maximum(t_norm, 1e-9))
+    """Brute-force cosine truth via the framework's exact scan
+    (``retrieval.exact_cosine_scan`` — the product-grade exact mode)."""
     BLK = 8192
+    T_pad = ((T + BLK - 1) // BLK) * BLK
+    ti = np.full((T_pad, KT), int(PAD_ID), np.int32)
+    tsc = np.zeros((T_pad, KT), np.float32)
+    ti[:T] = tweet_ids
+    tsc[:T] = tweet_scores
+    q_ids = np.asarray(queries_ids, np.int32)
+    q_sc = np.asarray(queries_scores, np.float32)
 
     # arrays are arguments, never closures: closed-over device arrays embed
     # as HLO constants and blow past the remote-compile payload limit
-    @jax.jit
-    def score_all(qd, ti, tsc, tn):
-        def block(carry, start):
-            ti_b = jax.lax.dynamic_slice_in_dim(ti, start, BLK, axis=0)
-            ts_b = jax.lax.dynamic_slice_in_dim(tsc, start, BLK, axis=0)
-            tn_b = jax.lax.dynamic_slice_in_dim(tn, start, BLK, axis=0)
-            qw = qd[:, ti_b.reshape(-1)].reshape(Q, BLK, KT)
-            s = jnp.einsum("qtk,tk->qt", qw, ts_b) / tn_b[None, :]
-            return carry, s
+    scan = jax.jit(functools.partial(
+        retrieval.exact_cosine_scan,
+        num_clusters=C, max_results=k, block=BLK,
+    ))
+    src = SparseEmbedding(jnp.asarray(q_ids), jnp.asarray(q_sc))
+    ti_d, tsc_d = jnp.asarray(ti), jnp.asarray(tsc)
+    rows, _ = scan(ti_d, tsc_d, src)
+    ids_np = np.asarray(rows)  # corpus rows ARE tweet ids here
 
-        _, blocks = jax.lax.scan(block, None, jnp.arange(0, T, BLK))
-        scores = jnp.moveaxis(blocks, 0, 1).reshape(Q, -1)[:, :T]
-        return jax.lax.top_k(scores, k)
-
-    _, top_ids = score_all(qd, ti, tsc, tn)
-    ids_np = np.asarray(top_ids)  # the fetch is the sync
-
-    # product-grade EXACT mode throughput: the same brute-force cosine scan
-    # offered as a serving option (recall 1.0 by construction — the
-    # "beat the reference recall" lever a corpus-in-HBM design buys)
+    # product-grade EXACT mode throughput: recall 1.0 by construction —
+    # the "beat the reference recall" lever a corpus-in-HBM design buys
     def run(_):
-        return score_all(qd, ti, tsc, tn)
+        return scan(ti_d, tsc_d, src)
 
     dt = _steady_state(run, None, reps=3)
     return ids_np, Q / dt
@@ -224,15 +213,23 @@ def bench_ranking():
     )
     weights = masknet.DEFAULT_HEAD_WEIGHTS
 
+    # params CLOSED OVER deliberately: as compile-time constants XLA packs
+    # the weight layouts once (params-as-argument measured 0.54 MFU vs 0.68
+    # closed — runtime-arg weights pay per-call layout work). The ~60 MB
+    # constant payload is safely under the remote-compile limit; only the
+    # big activations (x) must be arguments.
     @jax.jit
     def score(x):
         probs = jax.nn.sigmoid(model.apply(params, x))
         return masknet.weighted_model_score(probs, weights)
 
-    B = 32768  # MFU rises with batch: 0.36 @ 4k -> 0.59 @ 16k -> measured @ 32k on v5e
+    B = 16384  # MFU peaks here on v5e (0.36 @ 4k → 0.74 @ 16k; flat @ 24k+)
+    # serving feeds bf16 features: the model computes in bf16 anyway, and
+    # the f32→bf16 input cast inside the program costs ~0.08 MFU (measured
+    # 0.667 f32-in vs 0.745 bf16-in — the cast + doubled input HBM read)
     x = jnp.asarray(
-        np.random.default_rng(0).normal(size=(B, cfg.num_features)).astype(np.float32)
-    )
+        np.random.default_rng(0).normal(size=(B, cfg.num_features))
+    ).astype(jnp.bfloat16)
     flops = _compiled_flops(score, x)
     dt = _steady_state(score, x, reps=100)
     return B / dt, (flops / dt if flops else None), (flops / B if flops else None)
@@ -255,15 +252,21 @@ def bench_training():
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
 
-    B = 16384  # training MFU 0.52 @ 4k -> 0.58 @ 8k -> measured @ 16k on v5e
+    # training MFU sweep on v5e: 0.52 @ 4k, 0.61 @ 8k (peak), 0.605 @ 16k,
+    # 0.572 @ 32k, bf16 inputs 0.589 — the backward's activation re-reads
+    # are bandwidth-bound past 8k; 0.61 is this model's ceiling without
+    # remat/fusion changes to the bwd
+    B = 8192
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(B, cfg.num_features)).astype(np.float32))
     y = jnp.asarray(
         (rng.random((B, cfg.num_heads)) < 0.05).astype(np.float32)
     )
 
+    # batch passed as ARGUMENTS — closed-over device arrays embed as HLO
+    # constants and blow the remote-compile payload limit (see exact_topk)
     @jax.jit
-    def step(state):
+    def step(state, x, y):
         params, opt_state = state
         loss, grads = jax.value_and_grad(
             lambda p: masknet.multi_task_loss(model.apply(p, x), y)
@@ -271,13 +274,13 @@ def bench_training():
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state
 
-    flops = _compiled_flops(step, (params, opt_state))
-    state = step((params, opt_state))
+    flops = _compiled_flops(step, (params, opt_state), x, y)
+    state = step((params, opt_state), x, y)
     _materialize(state)  # compile + sync
     reps = 50
     t0 = time.time()
     for _ in range(reps):
-        state = step(state)  # loop-carried through params: truly serialized
+        state = step(state, x, y)  # loop-carried: truly serialized
     _materialize(state)
     dt = (time.time() - t0) / reps
     return B / dt, (flops / dt if flops else None)
@@ -428,6 +431,9 @@ def bench_foryou(sann_ids, sann_scores, sann_dt_per_request):
             min_ts=jnp.int32(0), max_ts=jnp.int32(NOW),
             followed_authors=follows,
         )
+        # NOTE: do NOT bitcast ids into a float stack to save a fetch —
+        # small int32 ids land in the float32 denormal range and the
+        # TPU↔host path flushes them to zero (measured: candidate loss)
         return eb.search(idx, q, max_results=EB_K)
 
     # -- UTEG engagement graph on TPU --------------------------------------
@@ -588,15 +594,24 @@ def bench_foryou(sann_ids, sann_scores, sann_dt_per_request):
     warm = run_request(0)
     assert warm.candidates and not warm.failures, warm.failures
     scored_counts.clear()
+    # serial phase: per-request latency distribution
     lat = []
-    t_all = time.time()
     for u in range(U):
         t0 = time.time()
         out = run_request(u)
         assert out.candidates
         lat.append(time.time() - t0 + sann_dt_per_request)
-    total = time.time() - t_all + U * sann_dt_per_request
     lat_ms = np.sort(np.asarray(lat)) * 1000.0
+    # concurrent phase: the serving front overlaps requests (host hydration
+    # of one request with the TPU programs of another) — per-request state
+    # is isolated and selectors are stateless, so 4 workers share pipelines
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        outs = list(ex.map(run_request, range(U)))
+    assert all(o.candidates for o in outs)
+    total = time.time() - t0 + U * sann_dt_per_request
     return (
         U / total,
         float(lat_ms[int(0.5 * (U - 1))]),
