@@ -92,6 +92,25 @@ class ColumnarFeatureStore:
              else mats[0])
         )
 
+    def add_block(
+        self, ids: np.ndarray, names: Sequence[str], matrix: np.ndarray
+    ) -> None:
+        """Register a whole [N, W] block of scalar columns in one shot —
+        the zero-copy path for hydrators that already hold their output as
+        one matrix (e.g. the aggregate-framework rollups: building ~300
+        per-column arrays just to re-concatenate them costs more than the
+        math)."""
+        ids = np.asarray(ids, np.int64)
+        matrix = np.asarray(matrix, np.float32)
+        if matrix.shape != (ids.shape[0], len(names)):
+            raise ValueError(
+                f"block shape {matrix.shape} != ({ids.shape[0]}, {len(names)})")
+        order = np.argsort(ids, kind="stable")
+        bi = len(self._blocks)
+        for j, name in enumerate(names):
+            self._name_index[name] = (bi, j, 1)
+        self._blocks.append((ids[order], matrix[order]))
+
     def names(self) -> List[str]:
         return sorted(self._name_index)
 
