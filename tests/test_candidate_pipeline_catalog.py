@@ -143,6 +143,7 @@ def make_world():
         pinned_tweet_author_fn=lambda t: int(t) % 8,
         twhin_user_items=jnp.asarray(items[:8]),
         similar_consumers_fn=lambda q: ([0, 1], [1.0, 0.5]),
+        producer_engagers_fn=lambda p: ([int(p) % 8], [1.0]),
         producer_embedding_by_id_fn=lambda a: _emb((int(a) % 4,)),
     )
 

@@ -247,3 +247,30 @@ class TestRoundThreeEngines:
         assert two.score == 0.8  # best copy kept
         assert two.features["unified_sources"] == ["a", "b"]
         assert all(c.source == "Unified" for c in got)
+
+
+class TestProducerBasedUTG:
+    def test_audience_seeds_union_with_producer_weights(self):
+        import numpy as np
+
+        g = uteg.init_graph(8, width=8)
+        users = np.asarray([2, 3], np.int32)
+        tweets = np.asarray([500, 600], np.int32)
+        types = np.full(2, int(uteg.EngagementType.FAVORITE), np.int32)
+        g = uteg.record_engagements(
+            g, users, tweets, types, np.asarray([10, 20], np.int32))
+        # producer 7's audience = user 2; producer 9's audience = user 3
+        engagers = {7: ([2], [1.0]), 9: ([3], [0.5])}
+        eng = SE.ProducerBasedUTGEngine(
+            g, lambda p: engagers.get(p, ([], [])),
+            lambda q: ([7, 9], [1.0, 1.0]), max_results=8)
+        got = eng.get(object(), None)
+        by_id = {c.id: c.score for c in got}
+        assert set(by_id) == {500, 600}
+        assert by_id[500] > by_id[600]  # heavier producer-weighted audience
+
+    def test_no_audience_returns_empty(self):
+        g = uteg.init_graph(4, width=4)
+        eng = SE.ProducerBasedUTGEngine(
+            g, lambda p: ([], []), lambda q: ([1], [1.0]))
+        assert eng.get(object(), None) == []

@@ -113,10 +113,12 @@ class SourceWorld:
     # pinned-tweet → related-creator producer embeddings
     pinned_tweet_author_fn: Optional[Callable] = None  # tweet_id -> author_id
     producer_embedding_by_id_fn: Optional[Callable] = None  # author -> emb
-    # r3 engine variants: TwHIN user table for collab-filter, and a
-    # similar-consumer seed provider (RealGraph top-K / embedding kNN)
+    # r3 engine variants: TwHIN user table for collab-filter, a
+    # similar-consumer seed provider (RealGraph top-K / embedding kNN), and
+    # a producer→audience provider (the producer's recent engagers)
     twhin_user_items: Any = None  # [U, D] TwHIN USER embeddings
     similar_consumers_fn: Optional[Callable] = None  # q -> (ids, weights)
+    producer_engagers_fn: Optional[Callable] = None  # producer -> (ids, w)
 
 
 # query-signal extractors — the USS-derived signals a spec needs
@@ -466,6 +468,13 @@ def catalog_specs() -> List[PipelineSpec]:
           lambda w: se.ConsumersBasedUTGEngine(
               w.utg_left, w.similar_consumers_fn,
               name="ConsumersBasedUserTweetGraph")),
+        S("producer_based_utg", "graph", ("consumer", "follows"),
+          ("utg_left", "producer_engagers_fn"),
+          lambda w: se.ProducerBasedUTGEngine(
+              w.utg_left, w.producer_engagers_fn,
+              lambda q: (list(q.followed_authors)[:8],
+                         [1.0] * min(len(q.followed_authors), 8)),
+              name="ProducerBasedUserTweetGraph")),
         S("tweet_based_unified", "unified", ("source_tweet",),
           ("utg_left", "utg_right", "qig_ids", "qig_scores"),
           lambda w: se.UnifiedEngine([

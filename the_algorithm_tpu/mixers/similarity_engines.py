@@ -561,3 +561,59 @@ class UnifiedEngine(CandidateSource):
             c.features["unified_sources"] = sorted(contributors[c.id])
             c.source = self._name
         return out[: self.max_results]
+
+
+class ProducerBasedUTGEngine(CandidateSource):
+    """Producer-audience retrieval ≡ ``ProducerBasedUserTweetGraph`` /
+    ``ProducerBasedUserAdGraphSimilarityEngine``: for each source producer
+    signal (followed / heavily-interacted accounts), seed the engagement
+    traversal with THAT PRODUCER'S AUDIENCE — the users who recently
+    engaged the producer — so the result set is "what this account's
+    audience engages with". Seeds from every producer union with the
+    producer's signal weight folded into each engager's weight."""
+
+    def __init__(
+        self,
+        graph: uteg_mod.EngagementGraph,
+        engagers_fn: Callable[[int], tuple],  # producer -> (user_ids, w)
+        producers_fn: Callable[[Any], tuple],  # query -> (producer_ids, w)
+        max_results: int = 200,
+        max_seeds: int = 64,
+        min_social_proof: int = 1,
+        name: str = "ProducerBasedUserTweetGraph",
+    ):
+        self.graph = graph
+        self.engagers_fn = engagers_fn
+        self.producers_fn = producers_fn
+        self.max_results = max_results
+        self.max_seeds = max_seeds
+        self.min_social_proof = min_social_proof
+        self._name = name
+
+    @property
+    def name(self):
+        return self._name
+
+    def get(self, query, params) -> List[Candidate]:
+        producers, p_weights = self.producers_fn(query)
+        seed_w: dict = {}
+        for p, pw in zip(producers, p_weights):
+            users, weights = self.engagers_fn(int(p))
+            for u, w in zip(users, weights):
+                u = int(u)
+                seed_w[u] = seed_w.get(u, 0.0) + float(w) * float(pw)
+        if not seed_w:
+            return []
+        top = sorted(seed_w.items(), key=lambda kv: -kv[1])[: self.max_seeds]
+        ids, scores, proof = uteg_mod.recommend(
+            self.graph,
+            jnp.asarray([u for u, _ in top], jnp.int32),
+            jnp.asarray([w for _, w in top], jnp.float32),
+            max_results=self.max_results,
+            min_social_proof=self.min_social_proof,
+        )
+        cands = _to_candidates(ids, scores, self.name)
+        proof_np = np.asarray(proof)
+        for i, c in enumerate(cands):
+            c.features["social_proof"] = float(proof_np[i])
+        return cands
