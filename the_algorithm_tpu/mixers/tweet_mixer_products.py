@@ -54,7 +54,8 @@ PRODUCT_SPECS: Dict[TweetMixerProduct, ProductSpec] = {
              "twhin_tweet_similarity", "deep_retrieval_user_tweet",
              "deep_retrieval_tweet_tweet", "uteg", "utg_tweet_based",
              "utg_expansion_tweet_based", "earlybird_in_network",
-             "diffusion", "twhin_collab_filter", "consumers_based_utg"),
+             "diffusion", "twhin_collab_filter", "consumers_based_utg",
+             "producer_based_utg"),
             max_results=400,
         ),
         ProductSpec(
