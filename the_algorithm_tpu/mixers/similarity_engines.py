@@ -542,6 +542,10 @@ class UnifiedEngine(CandidateSource):
 
         per: List[List[Candidate]] = []
         contributors: dict = {}
+        # Max-score dedup must happen BEFORE the blend: interleave_blend
+        # dedups first-wins by id, so a later (better-scoring) copy would
+        # never survive to the selection loop otherwise.
+        best: dict = {}
         for eng in self.engines:
             try:
                 got = eng.get(query, params)
@@ -549,13 +553,12 @@ class UnifiedEngine(CandidateSource):
                 got = []  # fail-open per sub-engine
             for c in got:
                 contributors.setdefault(c.id, set()).add(c.source)
+                prev = best.get(c.id)
+                if prev is None or (c.score or 0.0) > (prev.score or 0.0):
+                    best[c.id] = c
             per.append(got)
         blended = interleave_blend(per, self.max_results * 2)
-        best: dict = {}
-        for c in blended:
-            prev = best.get(c.id)
-            if prev is None or (c.score or 0.0) > (prev.score or 0.0):
-                best[c.id] = c
+        best = {c.id: best[c.id] for c in blended}
         out = sorted(best.values(), key=lambda c: -(c.score or 0.0))
         for c in out:
             c.features["unified_sources"] = sorted(contributors[c.id])

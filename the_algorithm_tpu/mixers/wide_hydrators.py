@@ -382,6 +382,13 @@ class DecayedAggregatesColumnarHydrator(fs.ColumnarFeatureHydrator):
         return out
 
     def hydrate_columns(self, query, ids, candidates, params):
+        """Base-class dict contract: {name: [B] column}. The serve path
+        uses :meth:`hydrate` → :meth:`_hydrate_matrix` → ``add_block``
+        instead (one matrix, no per-column dict)."""
+        matrix = self._hydrate_matrix(query, ids, candidates, params)
+        return {n: matrix[:, i] for i, n in enumerate(self.output_names)}
+
+    def _hydrate_matrix(self, query, ids, candidates, params):
         uid = int(getattr(query, "user_id", 0))
         now = int(getattr(query, "now", 0))
         if self._key == "tweet":
@@ -455,7 +462,7 @@ class DecayedAggregatesColumnarHydrator(fs.ColumnarFeatureHydrator):
         if not candidates:
             return
         ids = np.asarray([c.id for c in candidates], np.int64)
-        matrix = self.hydrate_columns(query, ids, candidates, params)
+        matrix = self._hydrate_matrix(query, ids, candidates, params)
         fs.store_of(query).add_block(ids, self.output_names, matrix)
 
 
@@ -466,6 +473,11 @@ class UssSignalCountColumnarHydrator(fs.ColumnarFeatureHydrator):
     WINDOWS = {"90d": 90 * 86400, "30d": 30 * 86400, "7d": 7 * 86400}
 
     def __init__(self, store: user_signals.SignalStore):
+        self.refresh_store(store)
+
+    def refresh_store(self, store: user_signals.SignalStore) -> None:
+        """Swap in an updated store (re-mirrors the host read cache) —
+        mirrors :meth:`DecayedAggregatesColumnarHydrator.refresh_store`."""
         self._store = store
         # serving-path host mirror (see DecayedAggregates read cache)
         self._np_ids = np.asarray(store.target_ids)

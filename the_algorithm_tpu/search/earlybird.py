@@ -549,6 +549,25 @@ def search_sharded(
         li = EarlybirdIndex(
             tokens, author, ts, feats, tids, jnp.int32(0)
         )
+        if rank_by == "recency":
+            # Merge on exact int32 timestamp keys: float32 ulp at epoch-
+            # second magnitude is ~128 s, so a float-score merge could
+            # misorder tweets under ~2 minutes apart across shards.
+            ok, _ = match_mask(li, query)
+            sentinel = jnp.iinfo(jnp.int32).min
+            key = jnp.where(ok, li.created_ts, sentinel)
+            k = min(X, key.shape[0])
+            top_ts, idx = jax.lax.top_k(key, k)
+            ids = jnp.where(top_ts > sentinel, li.tweet_ids[idx], PAD_ID)
+            all_ids = jax.lax.all_gather(ids, MODEL_AXIS, axis=0, tiled=True)
+            all_keys = jax.lax.all_gather(
+                top_ts, MODEL_AXIS, axis=0, tiled=True)
+            top, midx = jax.lax.top_k(all_keys, X)
+            found = top > sentinel
+            return (
+                jnp.where(found, all_ids[midx], PAD_ID),
+                jnp.where(found, top.astype(jnp.float32), -jnp.inf),
+            )
         # global text-corpus statistics: per-shard partials psum over the
         # partition axis so idf/length-norm match the single-index scan
         # exactly (the reference's per-partition Lucene idf drifts here)

@@ -140,6 +140,12 @@ class Trainer:
         def put(x):
             spec = P(DATA_AXIS, *([None] * (jnp.ndim(x) - 1)))
             sharding = NamedSharding(self.mesh, spec)
+            # Already sharded (e.g. by the _prefetch feeder): pass through.
+            # Without this, fit(prefetch>0) would shard twice — a redundant
+            # device_put single-host, and a crash multi-host (np.asarray on
+            # a global array spanning non-addressable devices).
+            if isinstance(x, jax.Array) and x.sharding == sharding:
+                return x
             if multihost:
                 return jax.make_array_from_process_local_data(
                     sharding, np.asarray(x)
