@@ -1,0 +1,696 @@
+"""Device-side wide hydration: the serve-path feature store in HBM.
+
+≡ the reference's hydration tier (``home-mixer/server/.../functional_component/
+feature_hydrator/`` batching RPCs to Manhattan/memcache/GFS/RSX stores, then
+``navi/dr_transform`` densifying the result for the model) — re-designed
+TPU-first: every feature table is **device-resident**, and hydration +
+densification + MaskNet scoring run as ONE compiled XLA program per request
+batch. The host never materializes (or ships) the [B, ~6.7k] feature matrix;
+it only resolves ids→rows (the memcache-key layer) and uploads a few int32
+index arrays per request.
+
+Why this shape: the host-columnar path (``wide_hydrators.py``) costs ~50 ms
+of numpy per request plus a multi-MB feature-matrix upload per scoring call
+— at 6.7k features × 1.5k candidates that is the entire latency budget. On
+TPU the same work is a handful of gathers fused into the ranker's first
+matmul, and R concurrent requests share one program dispatch.
+
+Parity: :func:`assemble` emits columns in **exactly**
+:data:`feature_schema.WIDE_SCHEMA` order; ``tests/test_device_hydration.py``
+asserts equality against the host hydrator catalog per family.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from the_algorithm_tpu.features import aggregation, graph_features, user_signals
+from the_algorithm_tpu.features import representation_scorer as rsx
+from the_algorithm_tpu.graph import realgraph
+from the_algorithm_tpu.mixers import feature_schema as fs
+from the_algorithm_tpu.ops.sparse import PAD_ID
+
+# aggregate-store catalog order == schema prefix order (feature_schema.py):
+# first the candidate-keyed stores (a [B] row vector each), then the
+# viewer-keyed stores (one row broadcast over the batch)
+CAND_KEYED_AGG = (
+    "tweet_agg", "author_agg", "user_author_agg", "user_author_oon_agg",
+    "user_engager_agg", "user_mention_agg", "user_original_author_agg",
+    "user_topic_agg", "author_topic_agg", "user_source_agg",
+    "user_language_agg", "user_media_agg", "user_conversation_agg",
+    "topic_agg",
+)
+VIEWER_KEYED_AGG = ("user_agg", "user_list_agg", "user_dow_agg",
+                    "user_hour_agg")
+# schema emission order of all agg prefixes (feature_schema.build_wide_schema)
+AGG_SCHEMA_ORDER = (
+    "tweet_agg", "author_agg", "user_agg", "user_author_agg",
+    *fs.PAIR_AGG_PREFIXES, *fs.EXTRA_AGG_PREFIXES,
+)
+
+_L = len(fs.ENGAGEMENT_LABELS)
+_H = len(fs.AGG_HALFLIVES_S)
+_M_STORED = 4  # count, sum, sumsq, max
+
+
+class DeviceWideTables(NamedTuple):
+    """Every serve-path feature table, device-resident (one pytree).
+
+    Passed to the jitted program as an ARGUMENT (closed-over device arrays
+    embed as HLO constants and blow the remote-compile payload limit).
+    """
+
+    # earlybird in-index doc features [Td, n_doc] (ids gather mod Td)
+    doc_table: jnp.ndarray
+    # realgraph viewer rows
+    rg_nbr_ids: jnp.ndarray  # [U, D] int32
+    rg_counts: jnp.ndarray  # [U, D, Fr] f32
+    rg_last_ts: jnp.ndarray  # [U] int32
+    rg_w: jnp.ndarray  # [Fr] edge-model weights
+    rg_b: jnp.ndarray  # [] bias
+    # twhin embedding tables
+    twhin_user: jnp.ndarray  # [U, 64]
+    twhin_author: jnp.ndarray  # [A, 64]
+    twhin_tweet: jnp.ndarray  # [Tw, 64]
+    twhin_user_negative: jnp.ndarray  # [U, 64]
+    twhin_author_follow: jnp.ndarray  # [A, 64]
+    # rsx engagement history (per viewer)
+    eng_ids: jnp.ndarray  # [U, E] int32 engaged-tweet ids
+    eng_type: jnp.ndarray  # [U, E] int32
+    eng_ts: jnp.ndarray  # [U, E] int32
+    eng_valid: jnp.ndarray  # [U, E] bool
+    # large embeddings
+    user_interests: jnp.ndarray  # [U, 128]
+    author_agg_emb: jnp.ndarray  # [A, 128]
+    media_clip: jnp.ndarray  # [Tw, 64]
+    text_emb: jnp.ndarray  # [Tw, 128]
+    # aggregate stores, order = CAND_KEYED_AGG + VIEWER_KEYED_AGG
+    agg_values: Tuple[jnp.ndarray, ...]  # each [cap_i, L*4*H]
+    agg_last_ts: Tuple[jnp.ndarray, ...]  # each [cap_i]
+    # USS ring buffers
+    uss_ids: jnp.ndarray  # [U, S, W] int32
+    uss_ts: jnp.ndarray  # [U, S, W] int32
+    # GFS adjacency
+    gfs_neighbors: jnp.ndarray  # [E, U, D] int32
+    # author meta
+    tweepcred: jnp.ndarray  # [A]
+    author_meta: jnp.ndarray  # [A, 4]
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceFns:
+    """Static, jax-traceable feature formulas (NOT pytree leaves).
+
+    Production backs these with table gathers; the synthetic world supplies
+    the same closed-form functions its host fixtures use.
+    """
+
+    # ids [...] -> (cluster_ids [..., K] int32, scores [..., K] f32)
+    tweet_emb: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
+    # (uid [..], authors [...]) -> bool [...]: does author follow viewer
+    author_follows_viewer: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+class DeviceRequests(NamedTuple):
+    """One batch of R requests, PB candidate slots each (host-built)."""
+
+    cand_ids: jnp.ndarray  # [R, PB] int32 (PAD_ID for empty slots)
+    author_ids: jnp.ndarray  # [R, PB] int32 (-1 for empty)
+    agg_rows: jnp.ndarray  # [R, PB, len(CAND_KEYED_AGG)] int32 (-1 = miss)
+    viewer_agg_rows: jnp.ndarray  # [R, len(VIEWER_KEYED_AGG)] int32
+    uid: jnp.ndarray  # [R] int32
+    now: jnp.ndarray  # [R] int32
+    follows: jnp.ndarray  # [R, FW] int32 (PAD_ID padded)
+    lift: jnp.ndarray  # [R, PB, 6] f32 — CONTEXT_FEATURES order
+    ctx_hour: jnp.ndarray  # [R] int32
+    ctx_dow: jnp.ndarray  # [R] int32
+    ctx_client: jnp.ndarray  # [R] int32
+    ctx_scalars: jnp.ndarray  # [R, 4] f32
+    source_idx: jnp.ndarray  # [R, PB] int32 (-1 = unknown source)
+
+
+def _bucket_proj(cl: jnp.ndarray, sc: jnp.ndarray, buckets: int) -> jnp.ndarray:
+    """[..., K] sparse pairs → [..., buckets] hash-bucketed dense sum
+    (the SparseProjectionColumnarHydrator math)."""
+    valid = cl != PAD_ID
+    b = jnp.where(valid, cl % buckets, 0)
+    onehot = jax.nn.one_hot(b, buckets, dtype=sc.dtype)
+    return jnp.einsum("...k,...kb->...b", jnp.where(valid, sc, 0.0), onehot)
+
+
+def _agg_expose(
+    values: jnp.ndarray,  # [cap, L*4*H]
+    last_ts: jnp.ndarray,  # [cap]
+    rows: jnp.ndarray,  # [...] int32, -1 = missing
+    now: jnp.ndarray,  # scalar int32
+) -> jnp.ndarray:
+    """Gather + decay-to-now + expose → [..., L*H*5].
+
+    Stored layout col=((l*4 + m)*H + h) (``aggregation._layout`` with F=1);
+    exposed order (label, half-life, count/sum/mean/sumsq/max) — mirrors
+    ``DecayedAggregatesColumnarHydrator._read`` + ``_expose``.
+    """
+    safe = jnp.maximum(rows, 0)
+    block = values[safe]  # [..., L*4*H]
+    dt = (now - last_ts[safe]).astype(jnp.float32)[..., None]
+    hl = jnp.asarray(fs.AGG_HALFLIVES_S, jnp.float32)  # [H]
+    hl_cols = jnp.tile(hl, _L * _M_STORED)  # h fastest, matches storage
+    block = block * jnp.exp2(-dt / hl_cols)
+    block = jnp.where((rows >= 0)[..., None], block, 0.0)
+    shape = block.shape[:-1]
+    cube = block.reshape(*shape, _L, _M_STORED, _H)
+    cube = jnp.swapaxes(cube, -1, -2)  # [..., L, H, M_STORED]
+    count, ssum = cube[..., 0], cube[..., 1]
+    out = jnp.stack(
+        [count, ssum, ssum / jnp.maximum(count, 1.0), cube[..., 2],
+         cube[..., 3]],
+        axis=-1,
+    )  # [..., L, H, 5]
+    return out.reshape(*shape, _L * _H * 5)
+
+
+def assemble(
+    tables: DeviceWideTables,
+    fns: DeviceFns,
+    req: DeviceRequests,
+    *,
+    n_sources: int,
+    sc_buckets: int = 64,
+) -> jnp.ndarray:
+    """[R, PB, total_width(WIDE_SCHEMA)] — device twin of the host catalog.
+
+    Families emit in exactly ``feature_schema.build_wide_schema`` order;
+    every block mirrors its ``wide_hydrators`` twin's math (same modulo
+    keying, same decay, same layouts).
+    """
+    R, PB = req.cand_ids.shape
+    ids = req.cand_ids
+    authors = req.author_ids
+    now_c = req.now[:, None]  # [R, 1]
+    pieces: List[jnp.ndarray] = []
+
+    def emit(x):
+        pieces.append(x if x.ndim == 3 else x[..., None])
+
+    # 1. earlybird doc features [R, PB, n_doc]
+    Td = tables.doc_table.shape[0]
+    emit(tables.doc_table[ids % Td])
+
+    # 2. realgraph viewer→author edge block
+    U_rg = tables.rg_nbr_ids.shape[0]
+    u_rg = req.uid % U_rg
+    nbrs = tables.rg_nbr_ids[u_rg]  # [R, D]
+    dt = jnp.maximum(req.now - tables.rg_last_ts[u_rg], 0).astype(jnp.float32)
+    decay = jnp.exp2(-dt / realgraph.DEFAULT_HALF_LIFE_S)  # [R]
+    decayed = tables.rg_counts[u_rg] * decay[:, None, None]  # [R, D, Fr]
+    match = (authors[:, :, None] == nbrs[:, None, :]).astype(jnp.float32)
+    feats = jnp.einsum("rbd,rdf->rbf", match, decayed)  # [R, PB, Fr]
+    # the RealGraph edge model: sigmoid(log1p(f)·w + b)
+    # (``realgraph.predict_edge_scores``)
+    p = jax.nn.sigmoid(jnp.log1p(feats) @ tables.rg_w + tables.rg_b)
+    has_edge = jnp.sum(match, axis=2) > 0
+    days = (dt / 86400.0)[:, None]  # [R, 1]
+    emit(feats)
+    emit(jnp.where(has_edge, days, 0.0))
+    emit(jnp.sum(feats, axis=-1))
+    emit(jnp.where(has_edge, p, 0.0))
+
+    # 3. twhin blocks (5 × 64)
+    U_t, A_t, Tw = (tables.twhin_user.shape[0], tables.twhin_author.shape[0],
+                    tables.twhin_tweet.shape[0])
+    emit(jnp.broadcast_to(
+        tables.twhin_user[req.uid % U_t][:, None, :], (R, PB, 64)))
+    emit(tables.twhin_author[authors % A_t])
+    emit(tables.twhin_tweet[ids % Tw])
+    emit(jnp.broadcast_to(
+        tables.twhin_user_negative[req.uid % U_t][:, None, :], (R, PB, 64)))
+    emit(tables.twhin_author_follow[authors % A_t])
+
+    # 4. RSX engagement-similarity block (kind × window × signal × agg)
+    U_e = tables.eng_ids.shape[0]
+    u_e = req.uid % U_e
+    cand_cl, cand_sc = fns.tweet_emb(ids)  # [R, PB, K]
+    eng_cl, eng_sc = fns.tweet_emb(tables.eng_ids[u_e])  # [R, E, K]
+    eng_type = tables.eng_type[u_e]  # [R, E]
+    eng_age = now_c - tables.eng_ts[u_e]  # [R, E]
+    rsx_cols = _rsx_block(
+        cand_cl, cand_sc, eng_cl, eng_sc, eng_type, eng_age,
+        tables.eng_valid[u_e])
+    emit(rsx_cols)  # [R, PB, n_rsx] in schema order
+
+    # 5. simclusters projections: viewer InterestedIn then candidate tweet
+    ii_cl, ii_sc = fns.tweet_emb(req.uid % U_e)  # [R, K] (fixture semantics)
+    emit(jnp.broadcast_to(
+        _bucket_proj(ii_cl, ii_sc, sc_buckets)[:, None, :],
+        (R, PB, sc_buckets)))
+    emit(_bucket_proj(cand_cl, cand_sc, sc_buckets))
+
+    # 6. large embeddings
+    emit(jnp.broadcast_to(
+        tables.user_interests[req.uid % tables.user_interests.shape[0]]
+        [:, None, :], (R, PB, tables.user_interests.shape[1])))
+    emit(tables.author_agg_emb[authors % tables.author_agg_emb.shape[0]])
+    emit(tables.media_clip[ids % tables.media_clip.shape[0]])
+    emit(tables.text_emb[ids % tables.text_emb.shape[0]])
+
+    # 7. aggregate groups (schema prefix order)
+    cand_store_idx = {n: i for i, n in enumerate(CAND_KEYED_AGG)}
+    viewer_store_idx = {n: i for i, n in enumerate(VIEWER_KEYED_AGG)}
+    for prefix in AGG_SCHEMA_ORDER:
+        if prefix in cand_store_idx:
+            si = cand_store_idx[prefix]
+            rows = req.agg_rows[:, :, si]  # [R, PB]
+            vals, lts = tables.agg_values[si], tables.agg_last_ts[si]
+            # now varies per request: vmap the gather+decay over R
+            block = jax.vmap(
+                lambda rw, nw, v=vals, l=lts: _agg_expose(v, l, rw, nw)
+            )(rows, req.now)  # [R, PB, L*H*5]
+        else:
+            si = len(CAND_KEYED_AGG) + viewer_store_idx[prefix]
+            rows = req.viewer_agg_rows[:, viewer_store_idx[prefix]]  # [R]
+            vals = tables.agg_values[si]
+            lts = tables.agg_last_ts[si]
+            one = jax.vmap(
+                lambda rw, nw, v=vals, l=lts: _agg_expose(v, l, rw, nw)
+            )(rows, req.now)  # [R, L*H*5]
+            block = jnp.broadcast_to(one[:, None, :], (R, PB, one.shape[-1]))
+        emit(block)
+
+    # 8. USS signal counts per window × signal (broadcast)
+    U_s = tables.uss_ids.shape[0]
+    t_ids = tables.uss_ids[req.uid % U_s]  # [R, S, W]
+    t_ts = tables.uss_ts[req.uid % U_s]
+    windows = jnp.asarray(
+        [90 * 86400, 30 * 86400, 7 * 86400], jnp.int32)  # [3] (USS order)
+    cutoffs = req.now[:, None] - windows[None, :]  # [R, 3]
+    counts = jnp.sum(
+        (t_ids != PAD_ID)[:, None, :, :]
+        & (t_ts[:, None, :, :] >= cutoffs[:, :, None, None]),
+        axis=-1,
+    ).astype(jnp.float32)  # [R, 3, S]
+    S = t_ids.shape[1]
+    emit(jnp.broadcast_to(
+        counts.reshape(R, 1, 3 * S), (R, PB, 3 * S)))
+
+    # 9. GFS intersections (count + normalized per canonical pair)
+    U_g = tables.gfs_neighbors.shape[1]
+    u_g = req.uid % U_g
+    a_g = jnp.clip(authors, 0) % U_g
+    gfs_cols = []
+    for name, (ue, ce) in graph_features.FEATURE_PAIRS.items():
+        a_row = tables.gfs_neighbors[int(ue), u_g]  # [R, D]
+        b_rows = tables.gfs_neighbors[int(ce), a_g]  # [R, PB, D]
+        av = a_row != PAD_ID
+        bv = b_rows != PAD_ID
+        eq = ((a_row[:, None, :, None] == b_rows[:, :, None, :])
+              & av[:, None, :, None] & bv[:, :, None, :])
+        cnt = jnp.sum(eq, axis=(2, 3)).astype(jnp.float32)  # [R, PB]
+        deg = jnp.sum(av, axis=1).astype(jnp.float32)[:, None]  # [R, 1]
+        gfs_cols.append(cnt)
+        gfs_cols.append(cnt / jnp.maximum(deg, 1.0))
+    emit(jnp.stack(gfs_cols, axis=-1))
+
+    # 10. author meta + follow relations
+    A_m = tables.tweepcred.shape[0]
+    safe_a = jnp.clip(authors, 0) % A_m
+    ok = (authors >= 0).astype(jnp.float32)
+    emit(tables.tweepcred[safe_a] * ok)
+    emit(tables.author_meta[safe_a % tables.author_meta.shape[0]]
+         * ok[..., None])
+    follows_match = jnp.any(
+        (authors[:, :, None] == req.follows[:, None, :])
+        & (req.follows != PAD_ID)[:, None, :],
+        axis=2,
+    ).astype(jnp.float32)
+    emit(follows_match)
+    emit(fns.author_follows_viewer(req.uid[:, None], authors)
+         .astype(jnp.float32) * ok)
+
+    # 11. context features lifted from the candidate object model
+    emit(req.lift)  # [R, PB, 6] in CONTEXT_FEATURES order
+
+    # 12. serving-context one-hots + scalars (broadcast)
+    emit(jnp.broadcast_to(
+        jax.nn.one_hot(req.ctx_hour, 24)[:, None, :], (R, PB, 24)))
+    emit(jnp.broadcast_to(
+        jax.nn.one_hot(req.ctx_dow, 7)[:, None, :], (R, PB, 7)))
+    emit(jnp.broadcast_to(
+        jax.nn.one_hot(req.ctx_client, fs.CONTEXT_CLIENTS)[:, None, :],
+        (R, PB, fs.CONTEXT_CLIENTS)))
+    emit(jnp.broadcast_to(
+        req.ctx_scalars[:, None, :], (R, PB, 4)))
+
+    # 13. source one-hot
+    emit(jax.nn.one_hot(req.source_idx, n_sources))
+
+    return jnp.concatenate(pieces, axis=-1)
+
+
+def _rsx_block(
+    cand_cl, cand_sc,  # [R, PB, K]
+    eng_cl, eng_sc,  # [R, E, K]
+    eng_type,  # [R, E]
+    eng_age,  # [R, E]
+    valid,  # [R, E] bool
+) -> jnp.ndarray:
+    """[R, PB, n_rsx] — kind × window × signal × (avg, max, min), matching
+    ``rsx.engagement_similarity_features`` column order (hydrated under the
+    ``rsx_`` prefix in schema order)."""
+    from the_algorithm_tpu.ops import sparse
+    out_cols: List[jnp.ndarray] = []
+    for kind in rsx.SIMILARITY_KINDS:
+        fn = {
+            "cosine": sparse.cosine, "dot": sparse.dot,
+            "log_cosine": sparse.log_norm_cosine,
+            "euclidean": sparse.euclidean,
+        }[kind]
+
+        def pair(c_cl, c_sc, e_cl, e_sc):
+            # [PB, K] × [E, K] pairwise over one request
+            return sparse.pairwise_matrix(
+                fn,
+                sparse.SparseEmbedding(c_cl, c_sc),
+                sparse.SparseEmbedding(e_cl, e_sc),
+            )  # [PB, E]
+
+        sim = jax.vmap(pair)(cand_cl, cand_sc, eng_cl, eng_sc)  # [R, PB, E]
+        for w_secs in rsx.WINDOWS_S.values():
+            in_w = valid & (eng_age <= w_secs)  # [R, E]
+            for s_idx in range(len(rsx.SIGNAL_TYPES)):
+                m = in_w & (eng_type == s_idx)  # [R, E]
+                mf = m.astype(jnp.float32)[:, None, :]  # [R, 1, E]
+                count = jnp.sum(mf, axis=2)  # [R, 1]
+                has = count > 0
+                avg = jnp.where(
+                    has,
+                    jnp.sum(jnp.where(m[:, None, :], sim, 0.0), axis=2)
+                    / jnp.maximum(count, 1.0), 0.0)
+                mx = jnp.where(
+                    has,
+                    jnp.max(jnp.where(m[:, None, :], sim, -jnp.inf), axis=2),
+                    0.0)
+                mn = jnp.where(
+                    has,
+                    jnp.min(jnp.where(m[:, None, :], sim, jnp.inf), axis=2),
+                    0.0)
+                out_cols += [avg, mx, mn]
+    return jnp.stack(out_cols, axis=-1)
+
+
+# -- host-side request building ------------------------------------------------
+
+
+class HostRequestBuilder:
+    """Per-request id→row resolution (the memcache-key layer kept on host).
+
+    Produces the int32 index arrays of :class:`DeviceRequests` from the
+    pipeline's (query, candidates). All per-candidate work is vectorized
+    numpy except the key-tuple construction for the aggregate resolvers.
+    """
+
+    def __init__(
+        self,
+        resolvers: Dict[str, aggregation.KeyResolver],
+        source_names: Optional[Sequence[str]] = None,
+        pad_b: int = 512,
+        follow_width: int = 64,
+    ):
+        self.resolvers = resolvers
+        names = (tuple(source_names) if source_names is not None
+                 else tuple(fs.candidate_source_names()))
+        self.source_index = {n: i for i, n in enumerate(names)}
+        self.n_sources = len(names)
+        self.pad_b = pad_b
+        self.follow_width = follow_width
+
+    def _cand_feature(self, candidates, feat, default_feat=None):
+        out = []
+        for c in candidates:
+            v = c.features.get(feat)
+            if v is None and default_feat is not None:
+                v = c.features.get(default_feat)
+            out.append(int(v) if v is not None else -1)
+        return out
+
+    def build(self, query, candidates) -> DeviceRequests:
+        """One request → single-row (R=1) DeviceRequests (batch by
+        tree-concatenating along axis 0)."""
+        PB = self.pad_b
+        B = min(len(candidates), PB)
+        cands = candidates[:B]
+        uid = int(getattr(query, "user_id", 0))
+        now = int(getattr(query, "now", 0))
+
+        ids = np.full(PB, int(PAD_ID), np.int32)
+        authors = np.full(PB, -1, np.int32)
+        lift = np.zeros((PB, len(fs.CONTEXT_FEATURES)), np.float32)
+        src = np.full(PB, -1, np.int32)
+        for i, c in enumerate(cands):
+            ids[i] = c.id
+            a = c.features.get("author_id")
+            authors[i] = int(a) if a is not None else -1
+            for j, n in enumerate(fs.CONTEXT_FEATURES):
+                v = c.features.get(n)
+                if v is not None:
+                    lift[i, j] = float(v)
+            s = self.source_index.get(str(c.source))
+            if s is not None:
+                src[i] = s
+
+        # aggregate rows per store
+        agg_rows = np.full((PB, len(CAND_KEYED_AGG)), -1, np.int32)
+        key_lists = self._agg_keys(query, cands, uid, now, ids, authors)
+        for si, name in enumerate(CAND_KEYED_AGG):
+            r = self.resolvers[name].lookup(key_lists[name])
+            agg_rows[:len(r), si] = r
+        viewer_rows = np.empty(len(VIEWER_KEYED_AGG), np.int32)
+        viewer_keys = {
+            "user_agg": (uid,),
+            "user_list_agg": (uid, int(getattr(query, "list_id", -1) or -1)),
+            "user_dow_agg": (uid, (now // 86400) % 7),
+            "user_hour_agg": (uid, (now // 3600) % 24),
+        }
+        for vi, name in enumerate(VIEWER_KEYED_AGG):
+            viewer_rows[vi] = self.resolvers[name].lookup(
+                [viewer_keys[name]])[0]
+
+        follows = np.full(self.follow_width, int(PAD_ID), np.int32)
+        fl = sorted(int(a) for a in getattr(query, "followed_authors", ()))
+        follows[:min(len(fl), self.follow_width)] = \
+            fl[:self.follow_width]
+
+        served = len(getattr(query, "served_tweet_ids", ()) or ())
+        refresh = int(getattr(query, "refresh_count", 0) or 0)
+        session_age = float(getattr(query, "session_age_s", 0) or 0) / 60.0
+        ctx_scalars = np.asarray([
+            float(getattr(query, "since_id", None) is None
+                  and getattr(query, "max_id", None) is None
+                  and served == 0),
+            float(np.log1p(refresh)),
+            float(np.log1p(session_age)),
+            float(served),
+        ], np.float32)
+
+        return DeviceRequests(
+            cand_ids=ids[None], author_ids=authors[None],
+            agg_rows=agg_rows[None], viewer_agg_rows=viewer_rows[None],
+            uid=np.asarray([uid], np.int32),
+            now=np.asarray([now], np.int32),
+            follows=follows[None], lift=lift[None],
+            ctx_hour=np.asarray([(now // 3600) % 24], np.int32),
+            ctx_dow=np.asarray([(now // 86400) % 7], np.int32),
+            ctx_client=np.asarray(
+                [int(getattr(query, "client_id", 0) or 0)
+                 % fs.CONTEXT_CLIENTS], np.int32),
+            ctx_scalars=ctx_scalars[None],
+            source_idx=src[None],
+        )
+
+    def _agg_keys(self, query, cands, uid, now, ids, authors):
+        """Key tuples per candidate-keyed store (hydrator key semantics)."""
+        B = len(cands)
+        topic = self._cand_feature(cands, "topic_id")
+        out = {
+            "tweet_agg": [(int(i),) for i in ids[:B]],
+            "author_agg": [(int(a),) for a in authors[:B]],
+            "user_author_agg": [(uid, int(a)) for a in authors[:B]],
+            "user_author_oon_agg": [(uid, int(a)) for a in authors[:B]],
+            "user_engager_agg": [
+                (uid, v) for v in self._cand_feature(cands, "engager_id")],
+            "user_mention_agg": [
+                (uid, v)
+                for v in self._cand_feature(cands, "mentioned_user_id")],
+            "user_original_author_agg": [
+                (uid, v) for v in self._cand_feature(
+                    cands, "original_author_id", "author_id")],
+            "user_topic_agg": [(uid, t) for t in topic],
+            "author_topic_agg": [
+                (int(a), t) for a, t in zip(authors[:B], topic)],
+            "user_source_agg": [
+                (uid, _source_hash(c.source)) for c in cands],
+            "user_language_agg": [
+                (uid, v) for v in self._cand_feature(cands, "language_id")],
+            "user_media_agg": [
+                (uid, v) for v in self._cand_feature(cands, "media_type")],
+            "user_conversation_agg": [
+                (uid, v)
+                for v in self._cand_feature(cands, "conversation_id")],
+            "topic_agg": [(t,) for t in topic],
+        }
+        return out
+
+
+def _source_hash(source) -> int:
+    import zlib
+
+    return zlib.crc32(str(source or "").encode()) % 1024
+
+
+def batch_requests(reqs: Sequence[DeviceRequests]) -> DeviceRequests:
+    """Stack R single-row requests into one [R, ...] batch."""
+    return jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=0), *reqs)
+
+
+def build_from_world(world: Dict, device_spec: Dict):
+    """(DeviceWideTables, DeviceFns, resolvers) from a hydrator world.
+
+    ``world``: the :func:`wide_hydrators.build_wide_hydrators` kwargs;
+    ``device_spec``: the extra arrays + traceable formulas from
+    ``synthetic_world(include_device_spec=True)`` (production supplies its
+    own tables + gather formulas here).
+    """
+    def store_of(name):
+        if name in ("tweet_agg", "author_agg", "user_agg"):
+            return world[name]
+        return world["pair_aggs"][name]
+
+    agg_values, agg_last_ts, resolvers = [], [], {}
+    for name in (*CAND_KEYED_AGG, *VIEWER_KEYED_AGG):
+        store, resolver = store_of(name)
+        agg_values.append(jnp.asarray(store.values))
+        agg_last_ts.append(jnp.asarray(store.last_ts))
+        resolvers[name] = resolver
+
+    rg = world["realgraph_table"]
+    sig = world["signal_store"]
+    E = device_spec["eng_ids"].shape[1]
+    tables = DeviceWideTables(
+        doc_table=jnp.asarray(device_spec["doc_table"]),
+        rg_nbr_ids=jnp.asarray(rg.neighbor_ids),
+        rg_counts=jnp.asarray(rg.counts),
+        rg_last_ts=jnp.asarray(rg.last_ts),
+        rg_w=jnp.asarray(world["realgraph_params"]["w"]),
+        rg_b=jnp.asarray(world["realgraph_params"]["b"]),
+        twhin_user=jnp.asarray(world["twhin_user"]),
+        twhin_author=jnp.asarray(world["twhin_author"]),
+        twhin_tweet=jnp.asarray(world["twhin_tweet"]),
+        twhin_user_negative=jnp.asarray(world["twhin_user_negative"]),
+        twhin_author_follow=jnp.asarray(world["twhin_author_follow"]),
+        eng_ids=jnp.asarray(device_spec["eng_ids"]),
+        eng_type=jnp.asarray(device_spec["eng_types"]),
+        eng_ts=jnp.asarray(device_spec["eng_ts"]),
+        eng_valid=jnp.ones(device_spec["eng_ids"].shape, bool),
+        user_interests=jnp.asarray(world["user_interests_table"]),
+        author_agg_emb=jnp.asarray(world["author_agg_table"]),
+        media_clip=jnp.asarray(world["media_cluster_table"]),
+        text_emb=jnp.asarray(world["text_embedding_table"]),
+        agg_values=tuple(agg_values),
+        agg_last_ts=tuple(agg_last_ts),
+        uss_ids=jnp.asarray(sig.target_ids),
+        uss_ts=jnp.asarray(sig.timestamps),
+        gfs_neighbors=jnp.asarray(world["gfs_tables"].neighbors),
+        tweepcred=jnp.asarray(world["tweepcred"]),
+        author_meta=jnp.asarray(world["author_meta"]),
+    )
+    fns = DeviceFns(
+        tweet_emb=device_spec["tweet_emb_device"],
+        author_follows_viewer=device_spec["author_follows_viewer_device"],
+    )
+    return tables, fns, resolvers
+
+
+# -- the fused hydrate+score engine -------------------------------------------
+
+
+class DeviceHydrationScorer:
+    """Fused wide-hydration + MaskNet scoring, one program per request batch.
+
+    ``score_requests([(query, candidates), ...])`` returns per-request
+    ``(probs [B_i, H], combined [B_i])`` — the model-scorer contract of
+    ``MaskNetScorer`` with the feature matrix never leaving the device.
+    """
+
+    def __init__(
+        self,
+        tables: DeviceWideTables,
+        fns: DeviceFns,
+        resolvers: Dict[str, aggregation.KeyResolver],
+        model,
+        params,
+        head_weights,
+        *,
+        pad_b: int = 512,
+        source_names: Optional[Sequence[str]] = None,
+        compute_dtype=jnp.bfloat16,
+        device=None,
+    ):
+        self.builder = HostRequestBuilder(
+            resolvers, source_names=source_names, pad_b=pad_b)
+        if device is not None:
+            tables = jax.device_put(tables, device)
+            params = jax.device_put(params, device)
+        self.tables = tables
+        self.fns = fns
+        self._device = device
+        n_sources = self.builder.n_sources
+        if model is None:  # assembly-only (parity/debug) use
+            self.params = params
+            self._jit = None
+            return
+
+        def run(tables, params, req):
+            x = assemble(tables, fns, req, n_sources=n_sources)
+            R, PB, F = x.shape
+            probs = jax.nn.sigmoid(
+                model.apply(params, x.reshape(R * PB, F)
+                            .astype(compute_dtype)))
+            probs = probs.reshape(R, PB, -1).astype(jnp.float32)
+            combined = jnp.einsum(
+                "rbh,h->rb", probs, jnp.asarray(head_weights, jnp.float32))
+            return probs, combined
+
+        self.params = params
+        self._jit = jax.jit(run)
+
+    def assemble_features(self, query, candidates) -> np.ndarray:
+        """[B, F] device-assembled feature matrix (parity/debug path)."""
+        req = self.builder.build(query, candidates)
+        if not hasattr(self, "_jit_assemble"):
+            self._jit_assemble = jax.jit(
+                lambda t, r: assemble(
+                    t, self.fns, r, n_sources=self.builder.n_sources))
+        x = self._jit_assemble(
+            self.tables, jax.tree_util.tree_map(jnp.asarray, req))
+        return np.asarray(x)[0, :len(candidates)]
+
+    def score_requests(self, batch):
+        """batch: [(query, candidates), ...] → [(probs, combined), ...]."""
+        reqs = [self.builder.build(q, c) for q, c in batch]
+        stacked = batch_requests(reqs)
+        dev = jax.tree_util.tree_map(jnp.asarray, stacked)
+        if self._device is not None:
+            dev = jax.device_put(dev, self._device)
+        probs, combined = self._jit(self.tables, self.params, dev)
+        probs = np.asarray(probs)
+        combined = np.asarray(combined)
+        out = []
+        for i, (q, c) in enumerate(batch):
+            B = min(len(c), probs.shape[1])
+            out.append((probs[i, :B], combined[i, :B]))
+        return out

@@ -786,18 +786,32 @@ def synthetic_world(
     engagement_width: int = 16,
     gfs_degree: int = 8,
     now: int = 10_000_000,
+    include_device_spec: bool = False,
 ) -> Dict:
     """Keyword args for :func:`build_wide_hydrators`, all tables seeded
     deterministically — the fixture used by tests and the wide-scoring bench.
     Feature values per id are pure functions of (seed, id) so oracle checks
     can recompute any cell independently.
+
+    ``include_device_spec=True`` adds a ``"device_spec"`` entry (POP it
+    before ``build_wide_hydrators(**world)``) carrying the raw arrays +
+    jax-traceable twins of the host formulas, for
+    :func:`~the_algorithm_tpu.mixers.device_hydration.build_from_world`.
     """
     rng = np.random.default_rng(seed)
 
+    # earlybird doc features are index-resident in prod — table-backed here
+    # (deterministic, no rng draws, so fixture streams are unchanged)
+    n_doc = len(fs.EB_DOC_FEATURES)
+    doc_table = np.sin(
+        0.001 * np.arange(num_tweets, dtype=np.float64)[:, None]
+        * np.arange(1, n_doc + 1, dtype=np.float64)[None, :]
+    ).astype(np.float32)
+
     def doc_fn(ids: np.ndarray) -> Dict[str, np.ndarray]:
-        ids = np.asarray(ids, np.int64)
+        ids = np.asarray(ids, np.int64) % num_tweets
         return {
-            n: np.sin(0.001 * ids * (j + 1)).astype(np.float32)
+            n: doc_table[ids, j]
             for j, n in enumerate(fs.EB_DOC_FEATURES)
         }
 
@@ -944,7 +958,34 @@ def synthetic_world(
         emb = interested_in_fn(query)
         return sparse.SparseEmbedding(emb.ids[0], emb.scores[0])
 
-    return dict(
+    device_spec = None
+    if include_device_spec:
+        K, C = clusters_per_tweet, num_clusters
+
+        def tweet_emb_device(ids):
+            """jax twin of ``tweet_embedding_fn`` — same values via
+            mod-splitting (keeps products in int32 range)."""
+            k = jnp.arange(1, K + 1, dtype=jnp.int32)
+            prod = (ids.astype(jnp.int32)[..., None] * k) % C
+            cl = (prod * jnp.int32(2654435761 % C)) % C
+            sc = jnp.broadcast_to(
+                1.0 / (1.0 + jnp.arange(K, dtype=jnp.float32)), prod.shape)
+            return cl, sc
+
+        def author_follows_viewer_dev(uid, authors):
+            # twin of followers_of_viewer_fn = range(0, num_authors, 7)
+            return (authors >= 0) & (authors % 7 == 0)
+
+        device_spec = dict(
+            doc_table=doc_table,
+            eng_ids=eng_ids.astype(np.int32),
+            eng_types=eng_types.astype(np.int32),
+            eng_ts=eng_ts.astype(np.int32),
+            tweet_emb_device=tweet_emb_device,
+            author_follows_viewer_device=author_follows_viewer_dev,
+        )
+
+    world = dict(
         doc_fn=doc_fn,
         pair_aggs=pair_aggs,
         realgraph_table=rg_table,
@@ -972,3 +1013,6 @@ def synthetic_world(
             int(x) for x in range(0, num_authors, 7)
         ),
     )
+    if device_spec is not None:
+        world["device_spec"] = device_spec
+    return world
