@@ -125,7 +125,7 @@ def test_device_scoring_end_to_end(world_and_spec):
 
     scorer = dh.DeviceHydrationScorer(
         tables, fns, resolvers, model, params, weights,
-        pad_b=64, compute_dtype=jnp.float32,
+        pad_b=128, compute_dtype=jnp.float32,
     )
     batch = []
     for u in (1, 5, 9):

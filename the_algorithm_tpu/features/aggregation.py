@@ -208,3 +208,41 @@ class KeyResolver:
         for i, k in enumerate(keys):
             out[i] = self._map.get(k, -1)
         return out
+
+    @staticmethod
+    def _encode(k0: np.ndarray, k1: Optional[np.ndarray]) -> np.ndarray:
+        k0 = np.asarray(k0, np.int64)
+        if k1 is None:
+            return k0
+        # pairs pack as k0·2³² + (k1 mod 2³²) — unique for int32-domain keys
+        return k0 * (1 << 32) + (np.asarray(k1, np.int64) & 0xFFFFFFFF)
+
+    def lookup_vec(
+        self, k0: np.ndarray, k1: Optional[np.ndarray] = None
+    ) -> np.ndarray:
+        """Vectorized read-path lookup for 1- or 2-int key columns.
+
+        The serve path resolves ~18 stores × ~1.5k candidates per request;
+        per-key dict gets cost more than the feature math. A sorted encoded
+        index (rebuilt lazily when the map grows) turns the whole column
+        into one ``searchsorted``.
+        """
+        if getattr(self, "_enc_n", -1) != len(self._map):
+            items = list(self._map.items())
+            codes = np.empty(len(items), np.int64)
+            rows = np.empty(len(items), np.int32)
+            for i, (k, r) in enumerate(items):
+                codes[i] = (k[0] if len(k) == 1
+                            else k[0] * (1 << 32) + (k[1] & 0xFFFFFFFF))
+                rows[i] = r
+            order = np.argsort(codes)
+            self._enc_codes = codes[order]
+            self._enc_rows = rows[order]
+            self._enc_n = len(items)
+        want = self._encode(k0, k1)
+        if self._enc_n == 0:
+            return np.full(want.shape[0], -1, np.int32)
+        pos = np.searchsorted(self._enc_codes, want)
+        pos = np.clip(pos, 0, self._enc_n - 1)
+        hit = self._enc_codes[pos] == want
+        return np.where(hit, self._enc_rows[pos], -1).astype(np.int32)

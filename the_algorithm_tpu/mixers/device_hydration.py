@@ -511,6 +511,113 @@ class HostRequestBuilder:
             source_idx=src[None],
         )
 
+    def build_columnar(
+        self, query, cols: Dict[str, np.ndarray], n: int
+    ) -> DeviceRequests:
+        """Columnar twin of :meth:`build` — per-candidate data arrives as
+        numpy columns (the batched product engine's representation), so no
+        per-candidate Python executes. ``cols`` must carry ``ids``; other
+        recognized columns: author_id, created_ts, topic_id, language_id,
+        media_type, conversation_id, engager_id, mentioned_user_id,
+        original_author_id, retrieval_score, social_proof, is_in_network,
+        topic_relevance, source_idx, source_hash (absent → defaults).
+        """
+        PB = self.pad_b
+        B = min(n, PB)
+        uid = int(getattr(query, "user_id", 0))
+        now = int(getattr(query, "now", 0))
+
+        def col(name, default, dtype=np.int64):
+            v = cols.get(name)
+            if v is None:
+                return np.full(B, default, dtype)
+            return np.asarray(v[:B], dtype)
+
+        ids_c = col("ids", int(PAD_ID))
+        ids = np.full(PB, int(PAD_ID), np.int32)
+        ids[:B] = ids_c
+        author_c = col("author_id", -1)
+        authors = np.full(PB, -1, np.int32)
+        authors[:B] = author_c
+
+        lift = np.zeros((PB, len(fs.CONTEXT_FEATURES)), np.float32)
+        for j, name in enumerate(fs.CONTEXT_FEATURES):
+            v = cols.get(name)
+            if v is not None:
+                lift[:B, j] = np.asarray(v[:B], np.float32)
+
+        src = np.full(PB, -1, np.int32)
+        if "source_idx" in cols:
+            src[:B] = np.asarray(cols["source_idx"][:B], np.int32)
+
+        # vectorized store-row resolution (one searchsorted per store)
+        uid_col = np.full(B, uid, np.int64)
+        topic = col("topic_id", -1)
+        orig_author = cols.get("original_author_id")
+        orig = (np.asarray(orig_author[:B], np.int64)
+                if orig_author is not None else author_c)
+        key_cols = {
+            "tweet_agg": (ids_c, None),
+            "author_agg": (author_c, None),
+            "user_author_agg": (uid_col, author_c),
+            "user_author_oon_agg": (uid_col, author_c),
+            "user_engager_agg": (uid_col, col("engager_id", -1)),
+            "user_mention_agg": (uid_col, col("mentioned_user_id", -1)),
+            "user_original_author_agg": (uid_col, orig),
+            "user_topic_agg": (uid_col, topic),
+            "author_topic_agg": (author_c, topic),
+            "user_source_agg": (uid_col, col("source_hash", -1)),
+            "user_language_agg": (uid_col, col("language_id", -1)),
+            "user_media_agg": (uid_col, col("media_type", -1)),
+            "user_conversation_agg": (uid_col, col("conversation_id", -1)),
+            "topic_agg": (topic, None),
+        }
+        agg_rows = np.full((PB, len(CAND_KEYED_AGG)), -1, np.int32)
+        for si, name in enumerate(CAND_KEYED_AGG):
+            k0, k1 = key_cols[name]
+            agg_rows[:B, si] = self.resolvers[name].lookup_vec(k0, k1)
+        viewer_keys = {
+            "user_agg": (uid,),
+            "user_list_agg": (uid, int(getattr(query, "list_id", -1) or -1)),
+            "user_dow_agg": (uid, (now // 86400) % 7),
+            "user_hour_agg": (uid, (now // 3600) % 24),
+        }
+        viewer_rows = np.empty(len(VIEWER_KEYED_AGG), np.int32)
+        for vi, name in enumerate(VIEWER_KEYED_AGG):
+            viewer_rows[vi] = self.resolvers[name].lookup(
+                [viewer_keys[name]])[0]
+
+        follows = np.full(self.follow_width, int(PAD_ID), np.int32)
+        fl = sorted(int(a) for a in getattr(query, "followed_authors", ()))
+        follows[:min(len(fl), self.follow_width)] = fl[:self.follow_width]
+
+        served = len(getattr(query, "served_tweet_ids", ()) or ())
+        refresh = int(getattr(query, "refresh_count", 0) or 0)
+        session_age = float(getattr(query, "session_age_s", 0) or 0) / 60.0
+        ctx_scalars = np.asarray([
+            float(getattr(query, "since_id", None) is None
+                  and getattr(query, "max_id", None) is None
+                  and served == 0),
+            float(np.log1p(refresh)),
+            float(np.log1p(session_age)),
+            float(served),
+        ], np.float32)
+
+        return DeviceRequests(
+            cand_ids=ids[None], author_ids=authors[None],
+            agg_rows=agg_rows[None], viewer_agg_rows=viewer_rows[None],
+            uid=np.asarray([uid], np.int32),
+            now=np.asarray([now], np.int32),
+            follows=follows[None], lift=lift[None],
+            ctx_hour=np.asarray([(now // 3600) % 24], np.int32),
+            ctx_dow=np.asarray([(now // 86400) % 7], np.int32),
+            ctx_client=np.asarray(
+                [int(getattr(query, "client_id", 0) or 0)
+                 % fs.CONTEXT_CLIENTS], np.int32),
+            ctx_scalars=ctx_scalars[None],
+            source_idx=src[None],
+        )
+
     def _agg_keys(self, query, cands, uid, now, ids, authors):
         """Key tuples per candidate-keyed store (hydrator key semantics)."""
         B = len(cands)
@@ -555,6 +662,66 @@ def batch_requests(reqs: Sequence[DeviceRequests]) -> DeviceRequests:
     """Stack R single-row requests into one [R, ...] batch."""
     return jax.tree_util.tree_map(
         lambda *xs: np.concatenate(xs, axis=0), *reqs)
+
+
+_N_LIFT = len(fs.CONTEXT_FEATURES)
+
+
+def pack_requests(req: DeviceRequests) -> np.ndarray:
+    """DeviceRequests → ONE int32 [R, PB, W] transfer buffer.
+
+    On a tunneled accelerator every host→device array pays a fixed
+    round-trip (~24 ms here), so 13 small leaves cost ~10× more in RTTs
+    than in bytes. Layout: cand int32 columns ‖ bitcast(f32 lift) ‖ one
+    metadata column whose leading rows carry the per-request ints
+    (uid, now, hour, dow, client, viewer rows, follows) and, after them,
+    the bitcast ctx scalars. Requires PB ≥ 5+V+FW+4.
+    """
+    R, PB = req.cand_ids.shape
+    S = len(CAND_KEYED_AGG)
+    V = len(VIEWER_KEYED_AGG)
+    FW = req.follows.shape[1]
+    n_meta = 5 + V + FW + 4
+    if PB < n_meta:
+        raise ValueError(f"pad_b={PB} < metadata rows {n_meta}")
+    W = 3 + S + _N_LIFT + 1
+    out = np.empty((R, PB, W), np.int32)
+    out[..., 0] = req.cand_ids
+    out[..., 1] = req.author_ids
+    out[..., 2] = req.source_idx
+    out[..., 3:3 + S] = req.agg_rows
+    out[..., 3 + S:3 + S + _N_LIFT] = (
+        np.ascontiguousarray(req.lift, np.float32).view(np.int32))
+    meta = out[..., -1]
+    meta[:, 0] = req.uid
+    meta[:, 1] = req.now
+    meta[:, 2] = req.ctx_hour
+    meta[:, 3] = req.ctx_dow
+    meta[:, 4] = req.ctx_client
+    meta[:, 5:5 + V] = req.viewer_agg_rows
+    meta[:, 5 + V:5 + V + FW] = req.follows
+    meta[:, 5 + V + FW:n_meta] = (
+        np.ascontiguousarray(req.ctx_scalars, np.float32).view(np.int32))
+    return out
+
+
+def unpack_requests(packed: jnp.ndarray, follow_width: int) -> DeviceRequests:
+    """jit-side inverse of :func:`pack_requests` (pure slicing/bitcast)."""
+    S = len(CAND_KEYED_AGG)
+    V = len(VIEWER_KEYED_AGG)
+    FW = follow_width
+    meta = packed[..., -1]
+    bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)  # noqa: E731
+    return DeviceRequests(
+        cand_ids=packed[..., 0], author_ids=packed[..., 1],
+        source_idx=packed[..., 2], agg_rows=packed[..., 3:3 + S],
+        lift=bc(packed[..., 3 + S:3 + S + _N_LIFT]),
+        uid=meta[:, 0], now=meta[:, 1],
+        ctx_hour=meta[:, 2], ctx_dow=meta[:, 3], ctx_client=meta[:, 4],
+        viewer_agg_rows=meta[:, 5:5 + V],
+        follows=meta[:, 5 + V:5 + V + FW],
+        ctx_scalars=bc(meta[:, 5 + V + FW:5 + V + FW + 4]),
+    )
 
 
 def build_from_world(world: Dict, device_spec: Dict):
@@ -654,16 +821,23 @@ class DeviceHydrationScorer:
             self._jit = None
             return
 
-        def run(tables, params, req):
+        follow_width = self.builder.follow_width
+
+        def run(tables, params, packed):
+            from the_algorithm_tpu.models import masknet
+
+            req = unpack_requests(packed, follow_width)
             x = assemble(tables, fns, req, n_sources=n_sources)
             R, PB, F = x.shape
             probs = jax.nn.sigmoid(
                 model.apply(params, x.reshape(R * PB, F)
                             .astype(compute_dtype)))
             probs = probs.reshape(R, PB, -1).astype(jnp.float32)
-            combined = jnp.einsum(
-                "rbh,h->rb", probs, jnp.asarray(head_weights, jnp.float32))
-            return probs, combined
+            combined = masknet.weighted_model_score(
+                probs, jnp.asarray(head_weights, jnp.float32))
+            # ONE output array (probs ‖ combined): a single device→host
+            # fetch instead of two round trips
+            return jnp.concatenate([probs, combined[..., None]], axis=-1)
 
         self.params = params
         self._jit = jax.jit(run)
@@ -679,18 +853,33 @@ class DeviceHydrationScorer:
             self.tables, jax.tree_util.tree_map(jnp.asarray, req))
         return np.asarray(x)[0, :len(candidates)]
 
+    def _dispatch(self, reqs):
+        stacked = batch_requests(reqs)
+        packed = pack_requests(stacked)  # ONE upload
+        if self._device is not None:
+            packed = jax.device_put(packed, self._device)
+        out = np.asarray(
+            self._jit(self.tables, self.params, packed))  # ONE fetch
+        return out[..., :-1], out[..., -1]
+
     def score_requests(self, batch):
         """batch: [(query, candidates), ...] → [(probs, combined), ...]."""
         reqs = [self.builder.build(q, c) for q, c in batch]
-        stacked = batch_requests(reqs)
-        dev = jax.tree_util.tree_map(jnp.asarray, stacked)
-        if self._device is not None:
-            dev = jax.device_put(dev, self._device)
-        probs, combined = self._jit(self.tables, self.params, dev)
-        probs = np.asarray(probs)
-        combined = np.asarray(combined)
+        probs, combined = self._dispatch(reqs)
         out = []
         for i, (q, c) in enumerate(batch):
             B = min(len(c), probs.shape[1])
+            out.append((probs[i, :B], combined[i, :B]))
+        return out
+
+    def score_columnar(self, batch):
+        """batch: [(query, cols, n), ...] (columnar candidates) →
+        [(probs [n, H], combined [n]), ...] — the zero-object hot path."""
+        reqs = [self.builder.build_columnar(q, cols, n)
+                for q, cols, n in batch]
+        probs, combined = self._dispatch(reqs)
+        out = []
+        for i, (q, cols, n) in enumerate(batch):
+            B = min(n, probs.shape[1])
             out.append((probs[i, :B], combined[i, :B]))
         return out

@@ -38,6 +38,79 @@ class _Pending:
     enqueued_at: float
 
 
+class RequestBatcher:
+    """Size + deadline coalescing of WHOLE requests (the navi front applied
+    at the product edge, not just the model call).
+
+    ``serve_fn(items: List) -> List`` handles one coalesced batch —
+    e.g. ``BatchedForYouEngine.serve_batch`` — so R concurrent requests
+    share every device program of the product pipeline. Same firing rule
+    as :class:`DynamicBatcher` (``batch.rs:116-200``): a batch dispatches
+    at ``max_batch_size`` items or when the oldest has waited
+    ``max_delay_ms``.
+    """
+
+    def __init__(
+        self,
+        serve_fn: Callable[[List[Any]], List[Any]],
+        config: BatcherConfig = BatcherConfig(max_batch_size=16),
+        stats: Optional[StatsReceiver] = None,
+    ):
+        self.serve_fn = serve_fn
+        self.config = config
+        self.stats = stats or NullStats()
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._shutdown = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, item: Any) -> Future:
+        fut: Future = Future()
+        self._queue.put(_Pending(item, fut, time.perf_counter()))
+        return fut
+
+    def serve(self, item: Any, timeout: float = 60.0) -> Any:
+        return self.submit(item).result(timeout=timeout)
+
+    def close(self) -> None:
+        self._shutdown.set()
+        self._worker.join(timeout=2.0)
+
+    def _collect(self) -> List[_Pending]:
+        try:
+            first = self._queue.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = first.enqueued_at + self.config.max_delay_ms / 1e3
+        while len(batch) < self.config.max_batch_size:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _run(self) -> None:
+        while not self._shutdown.is_set():
+            batch = self._collect()
+            if not batch:
+                continue
+            self.stats.stat("request_batch_size", len(batch))
+            t0 = time.perf_counter()
+            try:
+                outs = self.serve_fn([p.inputs for p in batch])
+            except Exception as e:
+                for p in batch:
+                    p.future.set_exception(e)
+                continue
+            self.stats.stat("serve_ms", (time.perf_counter() - t0) * 1e3)
+            for p, o in zip(batch, outs):
+                p.future.set_result(o)
+
+
 class DynamicBatcher:
     """Queue + worker thread around a batched ``predict_fn``.
 
