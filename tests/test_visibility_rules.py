@@ -303,9 +303,15 @@ class TestRoundThreeCatalog:
         return self.engine.evaluate(level, feats)
 
     def test_every_level_allows_clean_content(self):
+        # FilterAll / FilterAllPlaceholder exist to remove everything
+        drop_all_levels = {SafetyLevel.FILTER_ALL,
+                           SafetyLevel.FILTER_ALL_PLACEHOLDER}
         for level in SafetyLevel:
             res = self._eval(level)
-            assert res.action == Action.ALLOW, (level, res)
+            if level in drop_all_levels:
+                assert res.action == Action.DROP, (level, res)
+            else:
+                assert res.action == Action.ALLOW, (level, res)
 
     def test_fosnr_ladder(self):
         # ranked home: interstitial + downrank, never drop for followers
@@ -415,8 +421,138 @@ class TestMetricRecorder:
         assert rec.triggered(SafetyLevel.ADS, "AdsDropHighToxicityRule") == 1
         # evaluated counts present per (level, rule)
         m = rec.matrix()
-        assert m[("timeline_home", "DropDeletedTweet", "evaluated")] == 2
+        home = SafetyLevel.TIMELINE_HOME.value
+        assert m[(home, "DropDeletedTweet", "evaluated")] == 2
         # final-verdict distribution per level
-        assert rec.verdict_counts[("timeline_home", "DROP")] == 1
-        assert rec.verdict_counts[("timeline_home", "ALLOW")] == 1
-        assert rec.verdict_counts[("ads", "DROP")] == 1
+        assert rec.verdict_counts[(home, "DROP")] == 1
+        assert rec.verdict_counts[(home, "ALLOW")] == 1
+        assert rec.verdict_counts[(SafetyLevel.ADS.value, "DROP")] == 1
+
+
+class TestFullCatalogBreadth:
+    """Round-4 catalog completion: all 198 reference SafetyLevels with a
+    policy, ≥350 distinct rules, and representative outcomes per new
+    family (DM, Spaces, SafeSearch, SearchBlender user rules,
+    ToxicityReplyFilter, UserUnavailableState tombstones, communities,
+    bounce, crisis, UQF)."""
+
+    def _eval(self, level, **features):
+        engine = VR.catalog_engine()
+        return engine.evaluate(level, features)
+
+    def test_level_count_matches_reference_enum(self):
+        # 198 case objects in SafetyLevel.scala
+        assert len(SafetyLevel) == 198
+        assert len(VR.CATALOG_RULES) == 198
+        assert len(VR.all_rule_names()) >= 350
+
+    def test_every_level_has_policy_entry(self):
+        for lvl in SafetyLevel:
+            assert lvl in VR.CATALOG_RULES
+
+    def test_filter_levels(self):
+        assert self._eval(SafetyLevel.FILTER_NONE,
+                          tweet_labels={"abusive"}).action == Action.ALLOW
+        assert self._eval(SafetyLevel.FILTER_ALL).action == Action.DROP
+
+    def test_dm_conversation_family(self):
+        lvl = SafetyLevel.DIRECT_MESSAGES_CONVERSATION_TIMELINE
+        assert self._eval(lvl, author_labels={"suspended"},
+                          ).action == Action.DROP
+        assert self._eval(lvl, is_deleted=True).action >= Action.TOMBSTONE
+        assert self._eval(
+            lvl, is_nsfw_media=True).action >= Action.INTERSTITIAL
+        # malware in a DM event always drops (fail-closed family)
+        assert self._eval(lvl, tweet_labels={"malware_url"},
+                          ).action == Action.DROP
+
+    def test_spaces_family(self):
+        assert self._eval(SafetyLevel.SPACES,
+                          author_labels={"coordinated_harmful_activity"},
+                          ).action == Action.DROP
+        assert self._eval(SafetyLevel.SPACE_FLEETLINE,
+                          author_labels={"do_not_amplify"},
+                          ).action == Action.DROP
+        assert self._eval(SafetyLevel.SPACES,
+                          author_labels={"deactivated"},
+                          ).action >= Action.TOMBSTONE
+
+    def test_safe_search_family(self):
+        assert self._eval(SafetyLevel.SAFE_SEARCH_STRICT,
+                          tweet_labels={"nsfw_high_precision"},
+                          ).action == Action.DROP
+        assert self._eval(SafetyLevel.SAFE_SEARCH_MINIMAL,
+                          tweet_labels={"abusive"}).action == Action.DROP
+
+    def test_search_blender_user_rules(self):
+        lvl = SafetyLevel.SEARCH_BLENDER_USER_RULES
+        assert self._eval(lvl, author_labels={"suspended"},
+                          ).action == Action.DROP
+        assert self._eval(lvl, author_labels={"nsfw_avatar_image"},
+                          ).action == Action.DROP
+
+    def test_toxicity_reply_filter_levels(self):
+        lvl = SafetyLevel.TIMELINE_CONVERSATIONS_DOWNRANKING
+        assert self._eval(lvl, is_reply=True,
+                          toxicity_score=0.98).action >= Action.TOMBSTONE
+        lvl = SafetyLevel.TIMELINE_CONVERSATIONS_DOWNRANKING_MINIMAL
+        assert self._eval(lvl, is_reply=True,
+                          toxicity_score=0.93).action == Action.DOWNRANK
+
+    def test_user_unavailable_tombstones(self):
+        lvl = SafetyLevel.TOMBSTONING
+        assert self._eval(lvl, author_labels={"erased"},
+                          ).action == Action.TOMBSTONE
+        assert self._eval(lvl, tweet_labels={"bounce"},
+                          ).action >= Action.TOMBSTONE
+
+    def test_community_family(self):
+        lvl = SafetyLevel.TIMELINE_HOME_COMMUNITIES
+        assert self._eval(lvl, is_community_tweet=True,
+                          community_tweet_hidden=True,
+                          ).action >= Action.LIMITED_ENGAGEMENTS
+        # non-member of a protected community never sees the tweet
+        assert self._eval(lvl, is_community_tweet=True,
+                          community_is_protected=True,
+                          ).action >= Action.TOMBSTONE
+
+    def test_bounce_family(self):
+        assert self._eval(SafetyLevel.TIMELINE_HOME,
+                          tweet_labels={"bounce"}).action == Action.DROP
+        assert self._eval(SafetyLevel.TWEET_DETAIL, is_deleted=True,
+                          tweet_labels={"bounce"},
+                          ).action >= Action.TOMBSTONE
+
+    def test_crisis_family(self):
+        assert self._eval(SafetyLevel.TIMELINE_HOME,
+                          safety_crisis_level=2).action == Action.DROP
+        assert self._eval(SafetyLevel.NOTIFICATIONS_PLATFORM_PUSH,
+                          safety_crisis_level=2).action == Action.DROP
+
+    def test_uqf_respects_viewer_setting(self):
+        lvl = SafetyLevel.TIMELINE_HOME
+        on = self._eval(lvl, tweet_labels={"low_quality"},
+                        viewer_quality_filter_on=True)
+        assert on.action == Action.DROP
+        off = self._eval(lvl, tweet_labels={"low_quality"},
+                         viewer_quality_filter_on=False)
+        assert off.action <= Action.DOWNRANK
+
+    def test_avoid_marks_ad_adjacency(self):
+        res = self._eval(SafetyLevel.BRAND_SAFETY, toxicity_score=0.86)
+        # ads surfaces avoid-or-drop moderately toxic adjacency
+        assert res.action >= Action.AVOID
+
+    def test_exclusive_tweet_gating(self):
+        lvl = SafetyLevel.TIMELINE_PROFILE_SUPER_FOLLOWS
+        assert self._eval(lvl, is_exclusive_tweet=True,
+                          ).action >= Action.TOMBSTONE
+        assert self._eval(lvl, is_exclusive_tweet=True,
+                          viewer_is_subscribed=True).action == Action.ALLOW
+
+    def test_des_data_apis_minimal_but_fail_closed(self):
+        lvl = SafetyLevel.DES_HOME_TIMELINE
+        assert self._eval(lvl).action == Action.ALLOW
+        assert self._eval(lvl, tweet_labels={"pdna"}).action == Action.DROP
+        res = self._eval(lvl, author_is_suspended=True)
+        assert res.action == Action.DROP

@@ -26,53 +26,232 @@ class Action(enum.IntEnum):
     """≡ rules/Action.scala terminal actions (severity-ordered)."""
 
     ALLOW = 0
-    DOWNRANK = 1
-    INTERSTITIAL = 2
-    TOMBSTONE = 3  # replace with "unavailable" placeholder (threads/DMs)
-    DROP = 4
+    AVOID = 1  # keep, but exclude from ad adjacency (the Avoid action)
+    DOWNRANK = 2
+    LIMITED_ENGAGEMENTS = 3  # render with engagement actions disabled
+    INTERSTITIAL = 4
+    TOMBSTONE = 5  # replace with "unavailable" placeholder (threads/DMs)
+    DROP = 6
 
 
 class SafetyLevel(enum.Enum):
-    """Per-surface rule sets (≡ the reference's SafetyLevel space — one
-    level per product surface, each bound to its own policy in
-    ``rules/RuleBase.scala``'s level→policy map)."""
+    """Per-surface rule sets — the COMPLETE reference SafetyLevel space
+    (one member per ``case object`` in
+    ``visibilitylib/src/main/scala/com/twitter/visibility/models/SafetyLevel.scala``,
+    198 surfaces), each bound to its own policy in the catalog's
+    level→policy map (≡ ``rules/RuleBase.scala``). Values are the
+    reference's CamelCase level names."""
 
-    # home timelines
-    TIMELINE_HOME = "timeline_home"
-    TIMELINE_HOME_LATEST = "timeline_home_latest"  # chron Following
-    TIMELINE_HOME_RECOMMENDATIONS = "timeline_home_recommendations"
-    # profile / user-content timelines
-    TIMELINE_PROFILE = "timeline_profile"
-    TIMELINE_FAVORITES = "timeline_favorites"
-    TIMELINE_BOOKMARK = "timeline_bookmark"
-    TIMELINE_LISTS = "timeline_lists"
-    TIMELINE_MEDIA = "timeline_media"
-    # search verticals
-    SEARCH = "search"  # top
-    SEARCH_LATEST = "search_latest"
-    SEARCH_MEDIA = "search_media"
-    SEARCH_PEOPLE = "search_people"
-    # recommendation surfaces
-    RECOMMENDATIONS = "recommendations"
-    RECOMMENDATIONS_VIDEO = "recommendations_video"
-    TOPIC_RECOMMENDATIONS = "topic_recommendations"
-    TRENDS_REPRESENTATIVE_TWEET = "trends_representative_tweet"
-    # notifications
-    NOTIFICATIONS = "notifications"
-    NOTIFICATIONS_PUSH = "notifications_push"
-    # threads
-    CONVERSATION = "conversation"  # reply threads (ToxicityReplyFilter)
-    QUOTED_TWEET = "quoted_tweet"  # inner tweet of a quote
-    # messaging
-    DIRECT_MESSAGES = "direct_messages"  # DmConversation/DmEventRules
-    DIRECT_MESSAGES_INBOX = "direct_messages_inbox"
-    DIRECT_MESSAGES_SEARCH = "direct_messages_search"
-    # audio / live
-    SPACES = "spaces"  # SpaceRules
-    SPACES_SHARING = "spaces_sharing"  # space share cards in timelines
-    # monetized / syndicated
-    ADS = "ads"
-    EMBEDDED_TWEET = "embedded_tweet"  # publisher embeds (logged-out)
+    ADS_BUSINESS_SETTINGS = "AdsBusinessSettings"
+    ADS_CAMPAIGN = "AdsCampaign"
+    ADS_MANAGER = "AdsManager"
+    ADS_REPORTING_DASHBOARD = "AdsReportingDashboard"
+    ALL_SUBSCRIBED_LISTS = "AllSubscribedLists"
+    APPEALS = "Appeals"
+    ARTICLE_TWEET_TIMELINE = "ArticleTweetTimeline"
+    BASE_QIG = "BaseQig"
+    BIRDWATCH_NOTE_AUTHOR = "BirdwatchNoteAuthor"
+    BIRDWATCH_NOTE_TWEETS_TIMELINE = "BirdwatchNoteTweetsTimeline"
+    BIRDWATCH_NEEDS_YOUR_HELP_NOTIFICATIONS = "BirdwatchNeedsYourHelpNotifications"
+    BLOCK_MUTE_USERS_TIMELINE = "BlockMuteUsersTimeline"
+    BRAND_SAFETY = "BrandSafety"
+    CARD_POLL_VOTING = "CardPollVoting"
+    CARDS_SERVICE = "CardsService"
+    COMMUNITIES = "Communities"
+    CONTENT_CONTROL_TOOL_INSTALL = "ContentControlToolInstall"
+    CONVERSATION_FOCAL_PREHYDRATION = "ConversationFocalPrehydration"
+    CONVERSATION_FOCAL_TWEET = "ConversationFocalTweet"
+    CONVERSATION_INJECTED_TWEET = "ConversationInjectedTweet"
+    CONVERSATION_REPLY = "ConversationReply"
+    ACCESS_INTERNAL_PROMOTED_CONTENT = "AccessInternalPromotedContent"
+    CURATED_TRENDS_REPRESENTATIVE_TWEET = "CuratedTrendsRepresentativeTweet"
+    CURATION_POLICY_VIOLATIONS = "CurationPolicyViolations"
+    DEV_PLATFORM_GET_LIST_TWEETS = "DevPlatformGetListTweets"
+    DES_FOLLOWING_AND_FOLLOWERS_USER_LIST = "DesFollowingAndFollowersUserList"
+    DES_HOME_TIMELINE = "DesHomeTimeline"
+    DES_QUOTE_TWEET_TIMELINE = "DesQuoteTweetTimeline"
+    DES_REALTIME = "DesRealtime"
+    DES_REALTIME_SPAM_ENRICHMENT = "DesRealtimeSpamEnrichment"
+    DES_REALTIME_TWEET_FILTER = "DesRealtimeTweetFilter"
+    DES_RETWEETING_USERS = "DesRetweetingUsers"
+    DES_TWEET_DETAIL = "DesTweetDetail"
+    DES_TWEET_LIKING_USERS = "DesTweetLikingUsers"
+    DES_USER_BOOKMARKS = "DesUserBookmarks"
+    DES_USER_LIKED_TWEETS = "DesUserLikedTweets"
+    DES_USER_MENTIONS = "DesUserMentions"
+    DES_USER_TWEETS = "DesUserTweets"
+    DEV_PLATFORM_COMPLIANCE_STREAM = "DevPlatformComplianceStream"
+    DIRECT_MESSAGES = "DirectMessages"
+    DIRECT_MESSAGES_CONVERSATION_LIST = "DirectMessagesConversationList"
+    DIRECT_MESSAGES_CONVERSATION_TIMELINE = "DirectMessagesConversationTimeline"
+    DIRECT_MESSAGES_INBOX = "DirectMessagesInbox"
+    DIRECT_MESSAGES_MUTED_USERS = "DirectMessagesMutedUsers"
+    DIRECT_MESSAGES_PINNED = "DirectMessagesPinned"
+    DIRECT_MESSAGES_SEARCH = "DirectMessagesSearch"
+    EDIT_HISTORY_TIMELINE = "EditHistoryTimeline"
+    ELEVATED_QUOTE_TWEET_TIMELINE = "ElevatedQuoteTweetTimeline"
+    EMBEDDED_TWEET = "EmbeddedTweet"
+    EMBEDS_PUBLIC_INTEREST_NOTICE = "EmbedsPublicInterestNotice"
+    EMBED_TWEET_MARKUP = "EmbedTweetMarkup"
+    WRITE_PATH_LIMITED_ACTIONS_ENFORCEMENT = "WritePathLimitedActionsEnforcement"
+    FILTER_NONE = "FilterNone"
+    FILTER_ALL = "FilterAll"
+    FILTER_ALL_PLACEHOLDER = "FilterAllPlaceholder"
+    FILTER_DEFAULT = "FilterDefault"
+    FOLLOWED_TOPICS_TIMELINE = "FollowedTopicsTimeline"
+    FOLLOWER_CONNECTIONS = "FollowerConnections"
+    FOLLOWING_AND_FOLLOWERS_USER_LIST = "FollowingAndFollowersUserList"
+    FOR_DEVELOPMENT_ONLY = "ForDevelopmentOnly"
+    FRIENDS_FOLLOWING_LIST = "FriendsFollowingList"
+    GRAPHQL_DEFAULT = "GraphqlDefault"
+    GRYPHON_DECKS_AND_COLUMNS = "GryphonDecksAndColumns"
+    HUMANIZATION_NUDGE = "HumanizationNudge"
+    KITCHEN_SINK_DEVELOPMENT = "KitchenSinkDevelopment"
+    LIST_HEADER = "ListHeader"
+    LIST_MEMBERSHIPS = "ListMemberships"
+    LIST_OWNERSHIPS = "ListOwnerships"
+    LIST_RECOMMENDATIONS = "ListRecommendations"
+    LIST_SEARCH = "ListSearch"
+    LIST_SUBSCRIPTIONS = "ListSubscriptions"
+    LIVE_PIPELINE_ENGAGEMENT_COUNTS = "LivePipelineEngagementCounts"
+    LIVE_VIDEO_TIMELINE = "LiveVideoTimeline"
+    MAGIC_RECS = "MagicRecs"
+    MAGIC_RECS_AGGRESSIVE = "MagicRecsAggressive"
+    MAGIC_RECS_AGGRESSIVE_V2 = "MagicRecsAggressiveV2"
+    MAGIC_RECS_V2 = "MagicRecsV2"
+    MINIMAL = "Minimal"
+    MODERATED_TWEETS_TIMELINE = "ModeratedTweetsTimeline"
+    MOMENTS = "Moments"
+    NEARBY_TIMELINE = "NearbyTimeline"
+    NEW_USER_EXPERIENCE = "NewUserExperience"
+    NOTIFICATIONS_IBIS = "NotificationsIbis"
+    NOTIFICATIONS_PLATFORM = "NotificationsPlatform"
+    NOTIFICATIONS_PLATFORM_PUSH = "NotificationsPlatformPush"
+    NOTIFICATIONS_QIG = "NotificationsQig"
+    NOTIFICATIONS_READ = "NotificationsRead"
+    NOTIFICATIONS_TIMELINE_DEVICE_FOLLOW = "NotificationsTimelineDeviceFollow"
+    NOTIFICATIONS_WRITE = "NotificationsWrite"
+    NOTIFICATIONS_WRITER_V2 = "NotificationsWriterV2"
+    NOTIFICATIONS_WRITER_TWEET_HYDRATOR = "NotificationsWriterTweetHydrator"
+    PROFILE_MIXER_MEDIA = "ProfileMixerMedia"
+    PROFILE_MIXER_FAVORITES = "ProfileMixerFavorites"
+    QUICK_PROMOTE_TWEET_ELIGIBILITY = "QuickPromoteTweetEligibility"
+    QUOTE_TWEET_TIMELINE = "QuoteTweetTimeline"
+    QUOTED_TWEET_RULES = "QuotedTweetRules"
+    RECOMMENDATIONS = "Recommendations"
+    RECOS_VIDEO = "RecosVideo"
+    RECOS_WRITE_PATH = "RecosWritePath"
+    REPLIES_GROUPING = "RepliesGrouping"
+    REPORT_CENTER = "ReportCenter"
+    RETURNING_USER_EXPERIENCE = "ReturningUserExperience"
+    RETURNING_USER_EXPERIENCE_FOCAL_TWEET = "ReturningUserExperienceFocalTweet"
+    REVENUE = "Revenue"
+    RITO_ACTIONED_TWEET_TIMELINE = "RitoActionedTweetTimeline"
+    SAFE_SEARCH_MINIMAL = "SafeSearchMinimal"
+    SAFE_SEARCH_STRICT = "SafeSearchStrict"
+    SEARCH_HYDRATION = "SearchHydration"
+    SEARCH_LATEST = "SearchLatest"
+    SEARCH_MIXER_SRP_MINIMAL = "SearchMixerSrpMinimal"
+    SEARCH_MIXER_SRP_STRICT = "SearchMixerSrpStrict"
+    SEARCH_PEOPLE_SRP = "SearchPeopleSrp"
+    SEARCH_PEOPLE_TYPEAHEAD = "SearchPeopleTypeahead"
+    SEARCH_PHOTO = "SearchPhoto"
+    SHOPPING_MANAGER_SPY_MODE = "ShoppingManagerSpyMode"
+    STRATO_EXT_LIMITED_ENGAGEMENTS = "StratoExtLimitedEngagements"
+    SEARCH_TOP = "SearchTop"
+    SEARCH_TOP_QIG = "SearchTopQig"
+    SEARCH_TREND_TAKEOVER_PROMOTED_TWEET = "SearchTrendTakeoverPromotedTweet"
+    SEARCH_VIDEO = "SearchVideo"
+    SEARCH_BLENDER_USER_RULES = "SearchBlenderUserRules"
+    SEARCH_LATEST_USER_RULES = "SearchLatestUserRules"
+    SIGNALS_REACTIONS = "SignalsReactions"
+    SIGNALS_TWEET_REACTING_USERS = "SignalsTweetReactingUsers"
+    SOCIAL_PROOF = "SocialProof"
+    SOFT_INTERVENTION_PIVOT = "SoftInterventionPivot"
+    SPACE_FLEETLINE = "SpaceFleetline"
+    SPACE_HOME_TIMELINE_UPRANKING = "SpaceHomeTimelineUpranking"
+    SPACE_JOIN_SCREEN = "SpaceJoinScreen"
+    SPACE_NOTIFICATIONS = "SpaceNotifications"
+    SPACES = "Spaces"
+    SPACES_PARTICIPANTS = "SpacesParticipants"
+    SPACES_SELLER_APPLICATION_STATUS = "SpacesSellerApplicationStatus"
+    SPACES_SHARING = "SpacesSharing"
+    SPACE_TWEET_AVATAR_HOME_TIMELINE = "SpaceTweetAvatarHomeTimeline"
+    STICKERS_TIMELINE = "StickersTimeline"
+    STREAM_SERVICES = "StreamServices"
+    SUPER_FOLLOWER_CONNECTIONS = "SuperFollowerConnections"
+    SUPER_LIKE = "SuperLike"
+    TEST = "Test"
+    TIMELINE_CONVERSATIONS = "TimelineConversations"
+    TIMELINE_CONVERSATIONS_DOWNRANKING = "TimelineConversationsDownranking"
+    TIMELINE_CONVERSATIONS_DOWNRANKING_MINIMAL = "TimelineConversationsDownrankingMinimal"
+    TIMELINE_FOLLOWING_ACTIVITY = "TimelineFollowingActivity"
+    TIMELINE_HOME = "TimelineHome"
+    TIMELINE_HOME_COMMUNITIES = "TimelineHomeCommunities"
+    TIMELINE_HOME_HYDRATION = "TimelineHomeHydration"
+    TIMELINE_HOME_PROMOTED_HYDRATION = "TimelineHomePromotedHydration"
+    TIMELINE_HOME_RECOMMENDATIONS = "TimelineHomeRecommendations"
+    TIMELINE_HOME_TOPIC_FOLLOW_RECOMMENDATIONS = "TimelineHomeTopicFollowRecommendations"
+    TIMELINE_SCORER = "TimelineScorer"
+    TOPICS_LANDING_PAGE_TOPIC_RECOMMENDATIONS = "TopicsLandingPageTopicRecommendations"
+    EXPLORE_RECOMMENDATIONS = "ExploreRecommendations"
+    TIMELINE_MODERATED_TWEETS_HYDRATION = "TimelineModeratedTweetsHydration"
+    TIMELINE_INJECTION = "TimelineInjection"
+    TIMELINE_MENTIONS = "TimelineMentions"
+    TIMELINE_HOME_LATEST = "TimelineHomeLatest"
+    TIMELINE_LIKED_BY = "TimelineLikedBy"
+    TIMELINE_RETWEETED_BY = "TimelineRetweetedBy"
+    TIMELINE_SUPER_LIKED_BY = "TimelineSuperLikedBy"
+    TIMELINE_BOOKMARK = "TimelineBookmark"
+    TIMELINE_CONTENT_CONTROLS = "TimelineContentControls"
+    TIMELINE_MEDIA = "TimelineMedia"
+    TIMELINE_REACTIVE_BLENDING = "TimelineReactiveBlending"
+    TIMELINE_FAVORITES = "TimelineFavorites"
+    TIMELINE_FAVORITES_SELF_VIEW = "TimelineFavoritesSelfView"
+    TIMELINE_LISTS = "TimelineLists"
+    TIMELINE_PROFILE = "TimelineProfile"
+    TIMELINE_PROFILE_ALL = "TimelineProfileAll"
+    TIMELINE_PROFILE_SPACES = "TimelineProfileSpaces"
+    TIMELINE_PROFILE_SUPER_FOLLOWS = "TimelineProfileSuperFollows"
+    TIMELINE_FOCAL_TWEET = "TimelineFocalTweet"
+    TOMBSTONING = "Tombstoning"
+    TOPIC_RECOMMENDATIONS = "TopicRecommendations"
+    TRENDS_REPRESENTATIVE_TWEET = "TrendsRepresentativeTweet"
+    TRUSTED_FRIENDS_USER_LIST = "TrustedFriendsUserList"
+    TWITTER_DELEGATE_USER_LIST = "TwitterDelegateUserList"
+    TWEET_DETAIL = "TweetDetail"
+    TWEET_DETAIL_NON_TOO = "TweetDetailNonToo"
+    TWEET_DETAIL_WITH_INJECTIONS_HYDRATION = "TweetDetailWithInjectionsHydration"
+    TWEET_ENGAGERS = "TweetEngagers"
+    TWEET_REPLY_NUDGE = "TweetReplyNudge"
+    TWEET_SCOPED_TIMELINE = "TweetScopedTimeline"
+    TWEET_WRITES_API = "TweetWritesApi"
+    TWITTER_ARTICLE_COMPOSE = "TwitterArticleCompose"
+    TWITTER_ARTICLE_PROFILE_TAB = "TwitterArticleProfileTab"
+    TWITTER_ARTICLE_READ = "TwitterArticleRead"
+    USER_PROFILE_HEADER = "UserProfileHeader"
+    USER_MILESTONE_RECOMMENDATION = "UserMilestoneRecommendation"
+    USER_SCOPED_TIMELINE = "UserScopedTimeline"
+    USER_SEARCH_SRP = "UserSearchSrp"
+    USER_SEARCH_TYPEAHEAD = "UserSearchTypeahead"
+    USER_SELF_VIEW_ONLY = "UserSelfViewOnly"
+    USER_SETTINGS = "UserSettings"
+    VIDEO_ADS = "VideoAds"
+    ZIPBIRD_CONSUMER_ARCHIVES = "ZipbirdConsumerArchives"
+    TWEET_AWARD = "TweetAward"
+    DEPRECATED_SAFETY_LEVEL = "DeprecatedSafetyLevel"
+
+    # legacy member aliases from the pre-r4 enum (same value ⇒ enum alias,
+    # not a new member — the canonical space stays exactly 198 levels)
+    SEARCH = "SearchTop"
+    SEARCH_MEDIA = "SearchPhoto"
+    SEARCH_PEOPLE = "SearchPeopleSrp"
+    RECOMMENDATIONS_VIDEO = "RecosVideo"
+    NOTIFICATIONS = "NotificationsPlatform"
+    NOTIFICATIONS_PUSH = "NotificationsPlatformPush"
+    CONVERSATION = "ConversationReply"
+    QUOTED_TWEET = "QuotedTweetRules"
+    ADS = "BrandSafety"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -275,5 +454,10 @@ class VisibilityFilter(Filter):
                 c.features["visibility_downranked"] = True
             if res.action == Action.INTERSTITIAL:
                 c.features["visibility_interstitial"] = res.reason
+            if res.action == Action.AVOID:
+                # keep in ranking but exclude from ad adjacency slots
+                c.features["visibility_avoid"] = res.reason
+            if res.action == Action.LIMITED_ENGAGEMENTS:
+                c.features["visibility_limited_engagements"] = res.reason
             kept.append(c)
         return FilterResult(kept, removed)

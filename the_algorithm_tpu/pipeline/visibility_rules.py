@@ -655,30 +655,159 @@ SEARCH_PEOPLE_RULES = [
 
 # -- per-level policies (≡ the level→policy map in RuleBase.scala) -------------
 #
-# composition baselines: every surface starts from relationships + hard
-# user-state + legal; ranked/recommendation surfaces add the amplification
-# families; viewer-content surfaces (favorites/bookmarks) stay permissive.
+# The FULL reference SafetyLevel space: every one of the 198 levels gets a
+# policy, composed from the family lists above plus the breadth families
+# (``visibility_rules_breadth.py``). Surfaces group into archetypes the way
+# the reference's VisibilityPolicy subclasses share base rule sets
+# (``rules/RuleBase.scala``, ``DmVisibilityPolicies.scala``,
+# ``SearchBlenderRules.scala`` …); levels then add surface-specific rules.
+
+from the_algorithm_tpu.pipeline import visibility_rules_breadth as vb  # noqa: E402
+
+
+def _pick(family, *names):
+    """Select rules from a family by NAME (index slices drift)."""
+    by = {r.name: r for r in family}
+    return [by[n] for n in names]
+
 
 _BASE = RELATIONSHIP_RULES + USER_LABEL_RULES + LEGAL_RULES
 _LABELS_FULL = (TWEET_LABEL_RULES + MISINFO_RULES + SPAM_AUTHOR_RULES
                 + VIOLENCE_HATE_RULES)
+_COMMON_CONTENT = (
+    vb.BOUNCE_RULES[:3] + vb.SAFETY_CRISIS_RULES[:1]
+    + vb.EXCLUSIVE_TRUSTED_RULES[1:5] + vb.COMMUNITY_RULES[3:7]
+)
 _RANKED_HOME = (
     _BASE + _LABELS_FULL + FOSNR_RULES + FOSNR_ENGAGEMENT_RULES
     + PUBLIC_INTEREST_RULES + DOWNRANKING_RULES + CARD_RULES
     + SENSITIVE_MEDIA_RULES + ADVANCED_FILTERING_RULES
-    + [MUTED_KEYWORD_RULES[0]]
+    + _pick(vb.NSFW_BREADTH_RULES, "NsfwHighRecallTweetLabelRule",
+            "NsfwAvatarImageRule", "NsfwBannerImageRule")
+    + _pick(vb.GORE_VIOLENCE_RULES,
+            "GoreAndViolenceHighPrecisionTweetLabelRule")
+    + vb.UQF_RULES
+    + _pick(vb.DO_NOT_AMPLIFY_RULES, "DoNotAmplifyNonFollowerRule",
+            "DoNotAmplifySectionRule", "DoNotAmplifySectionUserRule")
+    + vb.MUTED_KEYWORD_BREADTH_RULES[:1]
+    + _pick(vb.VIEWER_RELATION_RULES, "MutedRetweetsRule",
+            "OnlyPeopleIFollowRule", "ViewerMutesAndDoesNotFollowAuthorRule")
+    + vb.ADV_FILTER_REFNAME_RULES
+    + _COMMON_CONTENT
+    + _pick(vb.DUP_LOWQ_RULES, "DropCardUriRootDomainDenylistRule",
+            "DropTweetsWithGeoRestrictedMediaRule", "TsViolationRule",
+            "EmergencyDropRule")
 )
 _RECS = (
     _BASE + _LABELS_FULL + RECS_ONLY_RULES + FOSNR_RULES
     + FOSNR_AMPLIFICATION_RULES + PUBLIC_INTEREST_RULES + DOWNRANKING_RULES
-    + CARD_RULES
+    + CARD_RULES + vb.DO_NOT_AMPLIFY_RULES + vb.NSFW_BREADTH_RULES[:2]
+    + vb.GORE_VIOLENCE_RULES[:1] + vb.SPAM_BREADTH_RULES[:2]
+    + vb.SAFETY_CRISIS_RULES[:1]
+    + _pick(vb.UQF_RULES, "LikelyIvsLabelNonFollowerDropRule",
+            "LikelyIvsLabelNonFollowerDropUserRule")
+    + _COMMON_CONTENT
 )
-_SEARCH = (
+_SEARCH_TOP = (
     _BASE + SAFE_SEARCH_RULES + _LABELS_FULL + DOWNRANKING_RULES
-    + CARD_RULES + SENSITIVE_MEDIA_RULES
+    + CARD_RULES + SENSITIVE_MEDIA_RULES + vb.SEARCH_BREADTH_RULES
+    + _pick(vb.SPAM_BREADTH_RULES, "FirstPageSearchResultAgathaSpamDropRule",
+            "CopypastaSpamAllViewersSearchTweetLabelRule",
+            "CopypastaSpamNonFollowerSearchTweetLabelRule",
+            "SmyteSpamTweetLabelDropSearchRule")
+    + _pick(vb.NSFW_BREADTH_RULES,
+            "DropNsfwAdminAuthorViewerOptInFilteringOnSearchRule",
+            "DropNsfwUserAuthorViewerOptInFilteringOnSearchRule")
+    + vb.UQF_RULES[:6] + _COMMON_CONTENT
 )
-# viewer-owned content (favorites / bookmarks): the viewer chose it —
-# only hard drops + legal + interstitial-grade media covers apply
+_SEARCH_LATEST = (
+    _BASE + SAFE_SEARCH_RULES + _LABELS_FULL + CARD_RULES
+    + SENSITIVE_MEDIA_RULES + vb.SEARCH_BREADTH_RULES + _COMMON_CONTENT
+)
+_SEARCH_STRICT = (
+    _SEARCH_TOP + vb.NSFW_BREADTH_RULES[:2] + vb.GORE_VIOLENCE_RULES[:2]
+)
+_SAFE_SEARCH = (
+    _BASE + SAFE_SEARCH_RULES + _LABELS_FULL
+    + vb.NSFW_BREADTH_RULES[:2] + vb.GORE_VIOLENCE_RULES[:1]
+    + vb.SEARCH_BREADTH_RULES[2:4] + _COMMON_CONTENT
+)
+_SEARCH_USER = RELATIONSHIP_RULES + SEARCH_PEOPLE_RULES + SPAM_AUTHOR_RULES + [
+    r for r in vb.NSFW_BREADTH_RULES
+    if r.name in ("NsfwAvatarImageRule", "NsfwBannerImageRule",
+                  "DropNsfwAdminAuthorViewerOptInFilteringOnSearchRule",
+                  "DropNsfwUserAuthorViewerOptInFilteringOnSearchRule")
+] + vb.UQF_RULES[2:3]
+_NOTIFICATIONS = (
+    _BASE + _LABELS_FULL + DOWNRANKING_RULES
+    + vb.MUTED_KEYWORD_BREADTH_RULES[1:2] + vb.UQF_RULES[:4]
+    + _COMMON_CONTENT
+)
+_PUSH = (
+    _BASE + PUSH_STRICT_RULES + _LABELS_FULL
+    + vb.MUTED_KEYWORD_BREADTH_RULES[1:2] + vb.SAFETY_CRISIS_RULES[:2]
+    + _COMMON_CONTENT
+)
+_CONVERSATION = (
+    RELATIONSHIP_RULES + USER_UNAVAILABLE_RULES + LEGAL_RULES
+    + TOXICITY_REPLY_RULES + TWEET_LABEL_RULES + CARD_RULES
+    + SENSITIVE_MEDIA_RULES + ADVANCED_FILTERING_RULES
+    + vb.MUTED_KEYWORD_BREADTH_RULES[2:3]
+    + _pick(vb.BOUNCE_RULES, "TombstoneBounceDeletedTweetRule",
+            "TombstoneDeletedTweetRule", "BounceTweetLabelTombstoneRule")
+    + vb.VIEWER_RELATION_RULES[:4]
+    + _pick(vb.UNAVAILABLE_STATE_RULES, "ErasedAuthorRule",
+            "OffboardedAuthorRule")
+    + _pick(vb.DUP_LOWQ_RULES, "UntrustedUrlConversationsTweetLabelRule",
+            "DownrankSpamReplyAllViewersTweetLabelRule",
+            "DownrankSpamReplyConversationsAuthorLabelRule")
+    + vb.COMMUNITY_RULES[22:30]
+    + _pick(vb.EXCLUSIVE_TRUSTED_RULES,
+            "TrustedFriendsTweetLimitedEngagementsRule")
+)
+_TWEET_DETAIL = _CONVERSATION + _pick(
+    vb.SEARCH_BREADTH_RULES, "ReportedTweetInterstitialRule") + [
+    r for r in vb.AVOID_RULES
+    if r.name == "SkipTweetDetailLimitedEngagementTweetLabelRule"]
+_QUOTED = (
+    QUOTED_TWEET_RULES + LEGAL_RULES
+    + [r for r in TWEET_LABEL_RULES if r.name == "PdnaTweetLabelRule"]
+    + vb.BOUNCE_RULES[5:6] + vb.BOUNCE_RULES[8:9]
+    + [r for r in vb.DUP_LOWQ_RULES
+       if r.name == "PdnaQuotedTweetLabelTombstoneRule"]
+    + [r for r in vb.NSFW_BREADTH_RULES
+       if r.name in ("NsfwHighPrecisionInnerQuotedTweetLabelRule",
+                     "NsfwHighPrecisionTombstoneInnerQuotedTweetLabelRule")]
+    + [r for r in vb.VIEWER_RELATION_RULES
+       if "InnerQuoted" in r.name or r.name == "AuthorBlocksOuterAuthorRule"]
+    + [r for r in vb.UNAVAILABLE_STATE_RULES
+       if r.name == "ProtectedQuoteTweetAuthorRule"]
+    + [r for r in vb.SPAM_BREADTH_RULES
+       if r.name == "SpamQuotedTweetLabelTombstoneRule"]
+    + [r for r in vb.EXCLUSIVE_TRUSTED_RULES
+       if r.name == "TombstoneExclusiveQuotedTweetContentRule"]
+    + vb.MUTED_KEYWORD_BREADTH_RULES[5:6]
+)
+_DM = (RELATIONSHIP_RULES + DM_RULES + LEGAL_RULES + vb.DM_BREADTH_RULES
+       + vb.UNAVAILABLE_STATE_RULES[2:4])
+_DM_INBOX = _DM + [
+    r for r in SPAM_AUTHOR_RULES
+    if r.name in ("EngagementSpammerAuthorLabelRule",
+                  "BanEvasionAuthorDropRule")]
+_SPACES = (RELATIONSHIP_RULES + SPACE_RULES + vb.SPACE_BREADTH_RULES
+           + vb.UNAVAILABLE_STATE_RULES[:2])
+_ADS = (ADS_RULES + LEGAL_RULES + vb.AVOID_RULES + vb.NSFW_BREADTH_RULES[32:33]
+        + [r for r in vb.NSFW_BREADTH_RULES + vb.GORE_VIOLENCE_RULES
+           if "AvoidAdPlacement" in r.name]
+        + vb.MUTED_KEYWORD_BREADTH_RULES[3:4]
+        + vb.VIEWER_RELATION_RULES[7:8] + vb.VIEWER_RELATION_RULES[12:13])
+_PROFILE = (
+    RELATIONSHIP_RULES + LEGAL_RULES
+    + [r for r in USER_LABEL_RULES
+       if r.name in ("SuspendedAuthorRule", "DeactivatedAuthorRule")]
+    + [r for r in TWEET_LABEL_RULES if r.name == "PdnaTweetLabelRule"]
+    + vb.BOUNCE_RULES[:1] + vb.SENSITIVE_MEDIA_SETTING_RULES
+)
 _VIEWER_OWNED = (
     RELATIONSHIP_RULES + LEGAL_RULES
     + [r for r in USER_LABEL_RULES
@@ -687,93 +816,248 @@ _VIEWER_OWNED = (
         "PdnaTweetLabelRule", "NsfwHighPrecisionTweetLabelRule",
         "GoreAndViolenceTweetLabelRule")]
 )
+_LISTS = (
+    _BASE + TWEET_LABEL_RULES + CARD_RULES + SENSITIVE_MEDIA_RULES
+    + vb.MUTED_KEYWORD_BREADTH_RULES[:1] + _COMMON_CONTENT
+)
+_MEDIA = (
+    _BASE + TWEET_LABEL_RULES + MEDIA_SURFACE_RULES + SENSITIVE_MEDIA_RULES
+    + vb.NSFW_BREADTH_RULES[13:17] + vb.GORE_VIOLENCE_RULES[1:2]
+)
+_ENGAGERS = (
+    RELATIONSHIP_RULES
+    + [r for r in USER_LABEL_RULES
+       if r.name in ("SuspendedAuthorRule", "DeactivatedAuthorRule")]
+    + SPAM_AUTHOR_RULES[:2] + vb.UNAVAILABLE_STATE_RULES[2:4]
+)
+_COMMUNITIES = (
+    _BASE + TWEET_LABEL_RULES + vb.COMMUNITY_RULES[6:20]
+    + vb.COMMUNITY_RULES[22:31] + _COMMON_CONTENT
+)
+_MINIMAL = (
+    LEGAL_RULES
+    + [r for r in USER_LABEL_RULES
+       if r.name in ("SuspendedAuthorRule", "DeactivatedAuthorRule")]
+    + [r for r in TWEET_LABEL_RULES if r.name == "PdnaTweetLabelRule"]
+    + vb.BOUNCE_RULES[:1]
+    + [r for r in vb.DUP_LOWQ_RULES if r.name == "TsViolationRule"]
+)
+_DATA_API = _MINIMAL
+_WRITE_PATH = _MINIMAL + [
+    r for r in vb.DUP_LOWQ_RULES
+    if r.name in ("EmergencyDropRule",)] + vb.TERMINAL_RULES[3:4]
+_CHRON_HOME = (
+    _BASE + TWEET_LABEL_RULES + LEGAL_RULES + CARD_RULES
+    + SENSITIVE_MEDIA_RULES + vb.MUTED_KEYWORD_BREADTH_RULES[:1]
+    + _COMMON_CONTENT + vb.VIEWER_RELATION_RULES[16:17]
+)
+_TRENDS = (_BASE + TRENDS_RULES + _LABELS_FULL + FOSNR_AMPLIFICATION_RULES
+           + vb.SEARCH_BREADTH_RULES[10:12] + vb.SAFETY_CRISIS_RULES[:1])
+_EMBEDS = (EMBEDDED_RULES + LEGAL_RULES + vb.NSFW_BREADTH_RULES[:1]
+           + vb.BOUNCE_RULES[:1])
+
+
+def _classify(name: str):
+    """level-name → policy (the explicit level→archetype assignment)."""
+    N = name
+    exact = {
+        "FILTER_NONE": [],
+        "FILTER_ALL": vb.TERMINAL_RULES[1:2],
+        "FILTER_ALL_PLACEHOLDER": vb.TERMINAL_RULES[2:3],
+        "FILTER_DEFAULT": _BASE + _COMMON_CONTENT,
+        "TEST": vb.TERMINAL_RULES[3:4] + _MINIMAL,
+        "FOR_DEVELOPMENT_ONLY": _MINIMAL,
+        "KITCHEN_SINK_DEVELOPMENT": _MINIMAL,
+        "MINIMAL": _MINIMAL,
+        "TOMBSTONING": vb.BOUNCE_RULES + vb.UNAVAILABLE_STATE_RULES,
+        "TIMELINE_HOME": _RANKED_HOME,
+        "TIMELINE_HOME_LATEST": _CHRON_HOME,
+        "TIMELINE_HOME_RECOMMENDATIONS": _RECS,
+        "TIMELINE_HOME_COMMUNITIES": _COMMUNITIES,
+        "TIMELINE_HOME_TOPIC_FOLLOW_RECOMMENDATIONS": _RECS,
+        "TIMELINE_REACTIVE_BLENDING": _RANKED_HOME,
+        "TIMELINE_SCORER": _RANKED_HOME,
+        "TIMELINE_INJECTION": _RECS,
+        "TIMELINE_MENTIONS": _NOTIFICATIONS,
+        "TIMELINE_FOLLOWING_ACTIVITY": _NOTIFICATIONS,
+        "TIMELINE_CONVERSATIONS": _CONVERSATION,
+        "TIMELINE_CONVERSATIONS_DOWNRANKING": _CONVERSATION,
+        "TIMELINE_CONVERSATIONS_DOWNRANKING_MINIMAL":
+            RELATIONSHIP_RULES + DOWNRANKING_RULES + TOXICITY_REPLY_RULES,
+        "TIMELINE_FOCAL_TWEET": _TWEET_DETAIL,
+        "TIMELINE_MEDIA": _MEDIA,
+        "TIMELINE_LIKED_BY": _ENGAGERS,
+        "TIMELINE_RETWEETED_BY": _ENGAGERS,
+        "TIMELINE_SUPER_LIKED_BY": _ENGAGERS,
+        "TIMELINE_CONTENT_CONTROLS": _RANKED_HOME,
+        "TIMELINE_BOOKMARK": _VIEWER_OWNED,
+        "TIMELINE_FAVORITES": _VIEWER_OWNED,
+        "TIMELINE_FAVORITES_SELF_VIEW": vb.TERMINAL_RULES[:1] + _MINIMAL,
+        "TIMELINE_LISTS": _LISTS,
+        "TIMELINE_PROFILE": _PROFILE,
+        "TIMELINE_PROFILE_ALL": _PROFILE,
+        "TIMELINE_PROFILE_SPACES": _PROFILE + vb.SPACE_BREADTH_RULES,
+        "TIMELINE_PROFILE_SUPER_FOLLOWS":
+            _PROFILE + vb.EXCLUSIVE_TRUSTED_RULES[1:5],
+        "PROFILE_MIXER_MEDIA": _MEDIA,
+        "PROFILE_MIXER_FAVORITES": _VIEWER_OWNED,
+        "USER_PROFILE_HEADER": _SEARCH_USER,
+        "USER_SELF_VIEW_ONLY": vb.TERMINAL_RULES[:1] + _MINIMAL,
+        "USER_SETTINGS": _MINIMAL,
+        "USER_SCOPED_TIMELINE": _SEARCH_TOP,
+        "TWEET_SCOPED_TIMELINE": _SEARCH_TOP,
+        "SEARCH_TOP": _SEARCH_TOP,
+        "SEARCH_TOP_QIG": _SEARCH_TOP,
+        "SEARCH_LATEST": _SEARCH_LATEST,
+        "SEARCH_PHOTO": _SEARCH_TOP + MEDIA_SURFACE_RULES,
+        "SEARCH_VIDEO": _SEARCH_TOP + MEDIA_SURFACE_RULES,
+        "SEARCH_MIXER_SRP_MINIMAL": _MINIMAL + SAFE_SEARCH_RULES,
+        "SEARCH_MIXER_SRP_STRICT": _SEARCH_STRICT,
+        "SEARCH_PEOPLE_SRP": _SEARCH_USER,
+        "SEARCH_PEOPLE_TYPEAHEAD": _SEARCH_USER,
+        "USER_SEARCH_SRP": _SEARCH_USER,
+        "USER_SEARCH_TYPEAHEAD": _SEARCH_USER,
+        "SEARCH_BLENDER_USER_RULES": _SEARCH_USER,
+        "SEARCH_LATEST_USER_RULES": _SEARCH_USER,
+        "SEARCH_HYDRATION": _DATA_API,
+        "SAFE_SEARCH_MINIMAL": _SAFE_SEARCH,
+        "SAFE_SEARCH_STRICT": _SAFE_SEARCH + vb.NSFW_BREADTH_RULES[17:22],
+        "SEARCH_TREND_TAKEOVER_PROMOTED_TWEET": _ADS,
+        "LIST_SEARCH": _LISTS,
+        "LIST_HEADER": _MINIMAL,
+        "LIST_MEMBERSHIPS": _ENGAGERS,
+        "LIST_OWNERSHIPS": _ENGAGERS,
+        "LIST_RECOMMENDATIONS": _RECS,
+        "LIST_SUBSCRIPTIONS": _ENGAGERS,
+        "ALL_SUBSCRIBED_LISTS": _ENGAGERS,
+        "RECOMMENDATIONS": _RECS,
+        "RECOS_VIDEO": _RECS + MEDIA_SURFACE_RULES,
+        "RECOS_WRITE_PATH": _WRITE_PATH,
+        "EXPLORE_RECOMMENDATIONS": _RECS,
+        "TOPIC_RECOMMENDATIONS": _RECS,
+        "TOPICS_LANDING_PAGE_TOPIC_RECOMMENDATIONS": _RECS,
+        "FOLLOWED_TOPICS_TIMELINE": _LISTS,
+        "CURATED_TRENDS_REPRESENTATIVE_TWEET": _TRENDS,
+        "TRENDS_REPRESENTATIVE_TWEET": _TRENDS,
+        "NEARBY_TIMELINE": _RECS,
+        "MOMENTS": _TRENDS,
+        "LIVE_VIDEO_TIMELINE": _MEDIA,
+        "ARTICLE_TWEET_TIMELINE": _LISTS,
+        "TWITTER_ARTICLE_COMPOSE": _WRITE_PATH,
+        "TWITTER_ARTICLE_PROFILE_TAB": _PROFILE,
+        "TWITTER_ARTICLE_READ": _PROFILE,
+        "EDIT_HISTORY_TIMELINE": _TWEET_DETAIL,
+        "ELEVATED_QUOTE_TWEET_TIMELINE": _QUOTED,
+        "QUOTE_TWEET_TIMELINE": _QUOTED,
+        "QUOTED_TWEET_RULES": _QUOTED,
+        "DES_QUOTE_TWEET_TIMELINE": _DATA_API,
+        "CONVERSATION_FOCAL_TWEET": _TWEET_DETAIL,
+        "CONVERSATION_INJECTED_TWEET": _CONVERSATION,
+        "CONVERSATION_REPLY": _CONVERSATION,
+        "CONVERSATION_FOCAL_PREHYDRATION": _DATA_API,
+        "REPLIES_GROUPING": _CONVERSATION,
+        "TWEET_DETAIL": _TWEET_DETAIL,
+        "TWEET_DETAIL_NON_TOO": _TWEET_DETAIL,
+        "TWEET_DETAIL_WITH_INJECTIONS_HYDRATION": _DATA_API,
+        "TWEET_ENGAGERS": _ENGAGERS,
+        "TWEET_REPLY_NUDGE": vb.DUP_LOWQ_RULES[18:19] + _MINIMAL,
+        "TWEET_AWARD": _MINIMAL,
+        "TWEET_WRITES_API": _WRITE_PATH,
+        "WRITE_PATH_LIMITED_ACTIONS_ENFORCEMENT":
+            _WRITE_PATH + vb.COMMUNITY_RULES[22:31]
+            + vb.EXCLUSIVE_TRUSTED_RULES[9:10]
+            + vb.SEARCH_BREADTH_RULES[21:22],
+        "COMMUNITIES": _COMMUNITIES,
+        "MODERATED_TWEETS_TIMELINE": _ENGAGERS + vb.COMMUNITY_RULES[28:29],
+        "TIMELINE_MODERATED_TWEETS_HYDRATION": _DATA_API,
+        "BIRDWATCH_NOTE_AUTHOR": _SEARCH_USER,
+        "BIRDWATCH_NOTE_TWEETS_TIMELINE": _CONVERSATION,
+        "BIRDWATCH_NEEDS_YOUR_HELP_NOTIFICATIONS": _PUSH,
+        "HUMANIZATION_NUDGE": vb.DUP_LOWQ_RULES[17:19] + _MINIMAL,
+        "SOFT_INTERVENTION_PIVOT": FOSNR_ENGAGEMENT_RULES + _MINIMAL,
+        "EMBEDS_PUBLIC_INTEREST_NOTICE": PUBLIC_INTEREST_RULES + _MINIMAL,
+        "EMBEDDED_TWEET": _EMBEDS,
+        "EMBED_TWEET_MARKUP": _EMBEDS,
+        "CARD_POLL_VOTING": _MINIMAL + vb.DUP_LOWQ_RULES[13:15],
+        "CARDS_SERVICE": _DATA_API,
+        "STICKERS_TIMELINE": _MEDIA,
+        "CURATION_POLICY_VIOLATIONS": vb.TERMINAL_RULES[:1] + _MINIMAL,
+        "RITO_ACTIONED_TWEET_TIMELINE":
+            _MINIMAL + DOWNRANKING_RULES[8:9],
+        "REPORT_CENTER": vb.TERMINAL_RULES[:1] + _MINIMAL,
+        "APPEALS": vb.TERMINAL_RULES[:1] + _MINIMAL,
+        "NEW_USER_EXPERIENCE": _RECS,
+        "RETURNING_USER_EXPERIENCE": _RECS,
+        "RETURNING_USER_EXPERIENCE_FOCAL_TWEET": _TWEET_DETAIL,
+        "BASE_QIG": _MINIMAL,
+        "NOTIFICATIONS_QIG": _NOTIFICATIONS,
+        "SOCIAL_PROOF": _ENGAGERS,
+        "SIGNALS_REACTIONS": _ENGAGERS,
+        "SIGNALS_TWEET_REACTING_USERS": _ENGAGERS,
+        "FOLLOWER_CONNECTIONS": _ENGAGERS,
+        "SUPER_FOLLOWER_CONNECTIONS": _ENGAGERS,
+        "FRIENDS_FOLLOWING_LIST": _ENGAGERS,
+        "FOLLOWING_AND_FOLLOWERS_USER_LIST": _ENGAGERS,
+        "TRUSTED_FRIENDS_USER_LIST":
+            _ENGAGERS + vb.EXCLUSIVE_TRUSTED_RULES[5:10],
+        "TWITTER_DELEGATE_USER_LIST": _ENGAGERS,
+        "BLOCK_MUTE_USERS_TIMELINE": vb.TERMINAL_RULES[:1] + _MINIMAL,
+        "SUPER_LIKE": _ENGAGERS,
+        "USER_MILESTONE_RECOMMENDATION": _RECS,
+        "CONTENT_CONTROL_TOOL_INSTALL": _MINIMAL,
+        "SHOPPING_MANAGER_SPY_MODE": vb.TERMINAL_RULES[:1] + _MINIMAL,
+        "GRYPHON_DECKS_AND_COLUMNS": _LISTS,
+        "GRAPHQL_DEFAULT": _BASE + _COMMON_CONTENT,
+        "STRATO_EXT_LIMITED_ENGAGEMENTS":
+            vb.AVOID_RULES[5:6] + vb.COMMUNITY_RULES[22:31] + _MINIMAL,
+        "LIVE_PIPELINE_ENGAGEMENT_COUNTS": _DATA_API,
+        "STREAM_SERVICES": _DATA_API,
+        "ZIPBIRD_CONSUMER_ARCHIVES": _DATA_API,
+        "DEPRECATED_SAFETY_LEVEL": _MINIMAL,
+        "ACCESS_INTERNAL_PROMOTED_CONTENT": _ADS,
+        "QUICK_PROMOTE_TWEET_ELIGIBILITY": _ADS,
+        "REVENUE": _ADS,
+        "VIDEO_ADS": _ADS,
+        "BRAND_SAFETY": _ADS,
+        "DEV_PLATFORM_GET_LIST_TWEETS": _DATA_API,
+        "DEV_PLATFORM_COMPLIANCE_STREAM": _DATA_API,
+    }
+    if N in exact:
+        return exact[N]
+    if N.startswith("DES_"):
+        return _DATA_API
+    if N.startswith("ADS_"):
+        return _ADS
+    if N.startswith("MAGIC_RECS") or N.startswith("NOTIFICATIONS_"):
+        if "PUSH" in N or N.startswith("MAGIC_RECS"):
+            return _PUSH
+        if "WRITE" in N or "WRITER" in N or "HYDRATOR" in N:
+            return _WRITE_PATH
+        return _NOTIFICATIONS
+    if N.startswith("DIRECT_MESSAGES"):
+        if "SEARCH" in N:
+            return RELATIONSHIP_RULES + DM_RULES + vb.DM_BREADTH_RULES
+        if "INBOX" in N or "CONVERSATION_LIST" in N:
+            return _DM_INBOX
+        if "MUTED" in N:
+            return vb.TERMINAL_RULES[:1] + _MINIMAL
+        return _DM
+    if N.startswith("SPACE"):
+        if "SHARING" in N or "HOME_TIMELINE" in N or "FLEETLINE" in N \
+                or "AVATAR" in N:
+            return _SPACES + FOSNR_AMPLIFICATION_RULES
+        if "NOTIFICATIONS" in N:
+            return _SPACES + _PUSH[-8:]
+        if "SELLER" in N or "PARTICIPANTS" in N:
+            return _ENGAGERS
+        return _SPACES
+    if "HYDRATION" in N:
+        return _DATA_API
+    raise KeyError(f"unassigned safety level: {N}")
+
 
 CATALOG_RULES: Dict[SafetyLevel, List[Rule]] = {
-    # home timelines
-    SafetyLevel.TIMELINE_HOME: _RANKED_HOME,
-    SafetyLevel.TIMELINE_HOME_LATEST: (
-        # chron following: no amplification-side families; the viewer
-        # follows every author, so non-follower gates are inert and
-        # downranking has no ranking to act on — keep drops + covers
-        _BASE + TWEET_LABEL_RULES + LEGAL_RULES + CARD_RULES
-        + SENSITIVE_MEDIA_RULES + [MUTED_KEYWORD_RULES[0]]
-    ),
-    SafetyLevel.TIMELINE_HOME_RECOMMENDATIONS: _RECS,
-    # profile / user-content timelines
-    SafetyLevel.TIMELINE_PROFILE: (
-        RELATIONSHIP_RULES + LEGAL_RULES
-        + [r for r in USER_LABEL_RULES
-           if r.name in ("SuspendedAuthorRule", "DeactivatedAuthorRule")]
-        + [r for r in TWEET_LABEL_RULES if r.name == "PdnaTweetLabelRule"]
-    ),
-    SafetyLevel.TIMELINE_FAVORITES: _VIEWER_OWNED,
-    SafetyLevel.TIMELINE_BOOKMARK: _VIEWER_OWNED,
-    SafetyLevel.TIMELINE_LISTS: (
-        _BASE + TWEET_LABEL_RULES + CARD_RULES + SENSITIVE_MEDIA_RULES
-        + [MUTED_KEYWORD_RULES[0]]
-    ),
-    SafetyLevel.TIMELINE_MEDIA: (
-        _BASE + TWEET_LABEL_RULES + MEDIA_SURFACE_RULES
-        + SENSITIVE_MEDIA_RULES
-    ),
-    # search verticals
-    SafetyLevel.SEARCH: _SEARCH,
-    SafetyLevel.SEARCH_LATEST: (
-        # latest drops the quality downranking (no ranking) but keeps
-        # safety drops
-        _BASE + SAFE_SEARCH_RULES + _LABELS_FULL + CARD_RULES
-        + SENSITIVE_MEDIA_RULES
-    ),
-    SafetyLevel.SEARCH_MEDIA: (
-        _BASE + SAFE_SEARCH_RULES + TWEET_LABEL_RULES + MEDIA_SURFACE_RULES
-        + SENSITIVE_MEDIA_RULES
-    ),
-    SafetyLevel.SEARCH_PEOPLE: (
-        RELATIONSHIP_RULES + SEARCH_PEOPLE_RULES + SPAM_AUTHOR_RULES
-    ),
-    # recommendation surfaces
-    SafetyLevel.RECOMMENDATIONS: _RECS,
-    SafetyLevel.RECOMMENDATIONS_VIDEO: (
-        _RECS + MEDIA_SURFACE_RULES
-    ),
-    SafetyLevel.TOPIC_RECOMMENDATIONS: _RECS,
-    SafetyLevel.TRENDS_REPRESENTATIVE_TWEET: (
-        _BASE + TRENDS_RULES + _LABELS_FULL + FOSNR_AMPLIFICATION_RULES
-    ),
-    # notifications
-    SafetyLevel.NOTIFICATIONS: (
-        _BASE + _LABELS_FULL + DOWNRANKING_RULES + [MUTED_KEYWORD_RULES[1]]
-    ),
-    SafetyLevel.NOTIFICATIONS_PUSH: (
-        _BASE + PUSH_STRICT_RULES + _LABELS_FULL + [MUTED_KEYWORD_RULES[1]]
-    ),
-    # threads
-    SafetyLevel.CONVERSATION: (
-        RELATIONSHIP_RULES + USER_UNAVAILABLE_RULES + LEGAL_RULES
-        + TOXICITY_REPLY_RULES + TWEET_LABEL_RULES + CARD_RULES
-        + SENSITIVE_MEDIA_RULES + ADVANCED_FILTERING_RULES
-    ),
-    SafetyLevel.QUOTED_TWEET: (
-        QUOTED_TWEET_RULES + LEGAL_RULES
-        + [r for r in TWEET_LABEL_RULES if r.name == "PdnaTweetLabelRule"]
-    ),
-    # messaging
-    SafetyLevel.DIRECT_MESSAGES: RELATIONSHIP_RULES + DM_RULES + LEGAL_RULES,
-    SafetyLevel.DIRECT_MESSAGES_INBOX: (
-        RELATIONSHIP_RULES + DM_RULES + LEGAL_RULES
-        + [r for r in SPAM_AUTHOR_RULES
-           if r.name in ("EngagementSpammerAuthorLabelRule",
-                         "BanEvasionAuthorDropRule")]
-    ),
-    SafetyLevel.DIRECT_MESSAGES_SEARCH: RELATIONSHIP_RULES + DM_RULES,
-    # audio / live
-    SafetyLevel.SPACES: RELATIONSHIP_RULES + SPACE_RULES,
-    SafetyLevel.SPACES_SHARING: (
-        RELATIONSHIP_RULES + SPACE_RULES + FOSNR_AMPLIFICATION_RULES
-    ),
-    # monetized / syndicated
-    SafetyLevel.ADS: ADS_RULES + LEGAL_RULES,
-    SafetyLevel.EMBEDDED_TWEET: EMBEDDED_RULES + LEGAL_RULES,
+    lvl: _classify(lvl.name) for lvl in SafetyLevel
 }
 
 
