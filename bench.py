@@ -350,277 +350,190 @@ def bench_lookup():
     return rows_per_s, bytes_moved / dt, dt_bare / dt
 
 
-def bench_foryou(sann_ids, sann_scores, sann_dt_per_request):
-    """End-to-end For You product benchmark (the product edge).
+def bench_foryou_batched(sann_ids, sann_scores, sann_dt_per_request):
+    """End-to-end For You product via the batched engine (the r4 path).
 
-    One full request per user: retrieve (SANN batch share + earlybird
-    in-network + UTEG, all on TPU) → merge/dedup → wide columnar hydration
-    (host feature store, the reference's JVM-hydrator role) → 6.6k-feature
-    MaskNet scoring on TPU → weighted heads → author-diversity rescore →
-    select — the ScoredTweets pipeline end to end
-    (``ScoredTweetsRecommendationPipelineConfig.scala:446-531``), vs. the
-    reference's >6,000 RPS prod fleet (``simclusters-ann/README.md:15``).
+    R concurrent requests share EVERY device program: one earlybird
+    in-network scan (262k-doc index), one UTEG traversal, the SANN batch
+    rows, and one fused wide-hydration + MaskNet scoring program
+    (``mixers/batched_foryou.py`` + ``mixers/device_hydration.py``).
+    The world runs at reference candidate pressure: ≥1,300 candidates
+    scored per request (``ScoredTweetsRecommendationPipelineConfig.scala:
+    446-461`` feeds ~1.5k), 16k-user feature world, 262k-doc realtime
+    index. Also exercises the RequestBatcher serving front (navi's
+    size+deadline rule at the product edge, ``batch.rs:116-200``).
 
-    Per-request latency here pays the tunneled-TPU round-trip (~24 ms per
-    device fetch ×3 programs); a colocated chip drops that term.
+    Returns (serial_rps, p50_ms, p99_ms, scored_per_req, curve,
+    best_batched_rps, front_rps).
     """
     from the_algorithm_tpu.graph import uteg as uteg_mod
+    from the_algorithm_tpu.mixers import batched_foryou as bf
+    from the_algorithm_tpu.mixers import device_hydration as dh
     from the_algorithm_tpu.mixers import feature_schema as fsch
     from the_algorithm_tpu.mixers import home_mixer
     from the_algorithm_tpu.mixers import wide_hydrators as wh
     from the_algorithm_tpu.models import masknet
-    from the_algorithm_tpu.pipeline.component import (
-        Candidate, CandidatePipeline, CandidateSource,
-    )
     from the_algorithm_tpu.search import earlybird as eb
 
-    U = 48  # timed requests
-    A = 4096  # author space
-    NU = 256  # user space of the feature world
-    EB_DOCS = 8192
+    NOW = 10_000_000
+    NU, A, NT = 16384, 4096, 1 << 17
+    EB_DOCS = 1 << 18  # 262,144 docs ≈ the realtime-tier partition scale
+    PB = 1536
     rng = np.random.default_rng(7)
+    accel = jax.devices()[0]
     try:
         cpu = jax.devices("cpu")[0]
     except Exception:
         cpu = None
+    import contextlib
 
-    # -- feature world on the HOST (CPU jax): the Manhattan/memcache role --
-    if cpu is not None:
-        with jax.default_device(cpu):
-            world = wh.synthetic_world(
-                seed=5, num_users=NU, num_authors=A, num_tweets=1 << 15,
-                now=10_000_000,
-            )
-    else:
+    host = (jax.default_device(cpu) if cpu is not None
+            else contextlib.nullcontext())
+
+    with host:
         world = wh.synthetic_world(
-            seed=5, num_users=NU, num_authors=A, num_tweets=1 << 15,
-            now=10_000_000,
-        )
-    NOW = 10_000_000
+            seed=5, num_users=NU, num_authors=A, num_tweets=NT,
+            engagement_width=16, now=NOW, include_device_spec=True)
+        spec = world.pop("device_spec")
+        tables, fns, resolvers = dh.build_from_world(world, spec)
+    tables = jax.device_put(tables, accel)
 
-    # -- earlybird realtime index on TPU -----------------------------------
-    accel = jax.devices()[0]
-    ecfg = eb.EarlybirdConfig(capacity=EB_DOCS, max_tokens=8)
-    eindex = eb.init_index(ecfg)
-    toks = np.stack([
-        eb.tokenize(f"tweet number {i} about topic {i % 97}", 8)
-        for i in range(EB_DOCS)
-    ])
-    e_authors = (np.arange(EB_DOCS) % A).astype(np.int32)
-    e_ts = (NOW - rng.integers(0, 40 * 3600, EB_DOCS)).astype(np.int32)
-    e_feats = rng.random((EB_DOCS, len(eb.DOC_FEATURES))).astype(np.float32)
-    e_ids = np.arange(3_000_000, 3_000_000 + EB_DOCS, dtype=np.int32)
-    eindex = eb.ingest(
-        eindex, jnp.asarray(toks), jnp.asarray(e_authors),
-        jnp.asarray(e_ts), jnp.asarray(e_feats), jnp.asarray(e_ids),
-    )
-    # COMMIT the serving structures to the accelerator: request handling
-    # below runs under default_device(cpu) so the host feature store math
-    # stays local, and committed-TPU operands pin the search/graph/model
-    # programs to the chip
+    toks = rng.integers(1, 50_000, (EB_DOCS, 8)).astype(np.int32)
+    eindex = eb.EarlybirdIndex(
+        jnp.asarray(toks),
+        jnp.asarray((np.arange(EB_DOCS) % A).astype(np.int32)),
+        jnp.asarray((NOW - rng.integers(0, 40 * 3600, EB_DOCS))
+                    .astype(np.int32)),
+        jnp.asarray(rng.random((EB_DOCS, len(eb.DOC_FEATURES)))
+                    .astype(np.float32)),
+        jnp.asarray(np.arange(3_000_000, 3_000_000 + EB_DOCS,
+                              dtype=np.int32)),
+        jnp.int32(EB_DOCS))
     eindex = jax.device_put(eindex, accel)
-    EB_K = 100
-    FOLLOW_W = 64
 
-    @jax.jit
-    def eb_search(tok, au, ts, ft, ti, follows):
-        idx = eb.EarlybirdIndex(tok, au, ts, ft, ti, jnp.int32(0))
-        q = eb.SearchQuery(
-            tokens=jnp.full((1,), int(PAD_ID), jnp.int32),
-            require_all=True,
-            min_ts=jnp.int32(0), max_ts=jnp.int32(NOW),
-            followed_authors=follows,
-        )
-        # NOTE: do NOT bitcast ids into a float stack to save a fetch —
-        # small int32 ids land in the float32 denormal range and the
-        # TPU↔host path flushes them to zero (measured: candidate loss)
-        return eb.search(idx, q, max_results=EB_K)
-
-    # -- UTEG engagement graph on TPU --------------------------------------
     graph = uteg_mod.init_graph(NU, width=32)
     n_ev = NU * 16
-    graph = uteg_mod.record_engagements(
-        graph,
-        jnp.asarray(rng.integers(0, NU, n_ev), jnp.int32),
-        jnp.asarray(rng.integers(0, 1 << 15, n_ev), jnp.int32),
-        jnp.asarray(
-            np.full(n_ev, int(uteg_mod.EngagementType.FAVORITE)), jnp.int32),
-        jnp.asarray(
-            np.sort(rng.integers(NOW - 86400, NOW, n_ev)), jnp.int32),
-    )
+    with host:
+        graph = uteg_mod.record_engagements(
+            graph,
+            jnp.asarray(rng.integers(0, NU, n_ev), jnp.int32),
+            jnp.asarray(rng.integers(0, 1 << 15, n_ev), jnp.int32),
+            jnp.asarray(np.full(n_ev, int(uteg_mod.EngagementType.FAVORITE)),
+                        jnp.int32),
+            jnp.asarray(np.sort(rng.integers(NOW - 86400, NOW, n_ev)),
+                        jnp.int32))
     graph = jax.device_put(graph, accel)
-    UTEG_K = 50
-    N_SEEDS = 8
 
-    @jax.jit
-    def uteg_rec(tid, tty, tts, seeds, weights):
-        g = uteg_mod.EngagementGraph(tid, tty, tts)
-        return uteg_mod.recommend(
-            g, seeds, weights, max_results=UTEG_K, min_social_proof=1)
-
-    def uteg_args(u):
-        return (graph.tweet_ids, graph.engagement_type, graph.timestamps,
-                jnp.asarray(seeds[u]), jnp.ones(N_SEEDS, jnp.float32))
-
-    # -- per-user request context ------------------------------------------
-    follows = np.full((U, FOLLOW_W), int(PAD_ID), np.int64)
-    for u in range(U):
-        n_f = int(rng.integers(16, FOLLOW_W))
-        follows[u, :n_f] = np.sort(rng.choice(A, n_f, replace=False))
-    seeds = rng.integers(0, NU, (U, N_SEEDS)).astype(np.int32)
-
-    def lift(c: Candidate) -> Candidate:
-        """Attach the candidate-object features the hydrators key on (the
-        tweetypie-hydration role: authorship + content metadata)."""
-        tid = c.id
-        c.features.setdefault("author_id", tid % A)
-        c.features.setdefault("created_ts", NOW - (tid % (40 * 3600)))
-        c.features.setdefault("topic_id", tid % 16)
-        c.features.setdefault("language_id", tid % 8)
-        c.features.setdefault("media_type", tid % 4)
-        c.features.setdefault("conversation_id", tid // 2)
-        return c
-
-    class SannPrecomputed(CandidateSource):
-        """The SANN leg: rows of the batched prod-shape retrieval already
-        measured above (production batches requests; the amortized batch
-        cost is added to each request's latency)."""
-
-        name = "simclusters_interested_in"
-
-        def get(self, query, params):
-            u = query.user_id
-            out = []
-            for t, s in zip(sann_ids[u], sann_scores[u]):
-                t = int(t)
-                if t == int(PAD_ID):
-                    continue
-                out.append(lift(Candidate(
-                    id=t, source=self.name,
-                    features={"retrieval_score": float(s)})))
-            return out
-
-    class EbInNetwork(CandidateSource):
-        name = "EarlybirdInNetwork"
-
-        def get(self, query, params):
-            ids, scores = eb_search(
-                eindex.tokens, eindex.author, eindex.created_ts,
-                eindex.features, eindex.tweet_ids,
-                jnp.asarray(follows[query.user_id], jnp.int32),
-            )
-            ids, scores = np.asarray(ids), np.asarray(scores)
-            out = []
-            for t, s in zip(ids, scores):
-                t = int(t)
-                if t == int(PAD_ID):
-                    continue
-                out.append(lift(Candidate(
-                    id=t, source=self.name,
-                    features={"retrieval_score": float(s),
-                              "is_in_network": 1.0})))
-            return out
-
-    class DirectUteg(CandidateSource):
-        name = "DirectUteg"
-
-        def get(self, query, params):
-            ids, scores, proof = uteg_rec(*uteg_args(query.user_id))
-            ids, scores, proof = (
-                np.asarray(ids), np.asarray(scores), np.asarray(proof))
-            out = []
-            for t, s, p in zip(ids, scores, proof):
-                t = int(t)
-                if t == int(PAD_ID):
-                    continue
-                out.append(lift(Candidate(
-                    id=t, source=self.name,
-                    features={"retrieval_score": float(s),
-                              "social_proof": float(p)})))
-            return out
-
-    # -- MaskNet heavy ranker on TPU at the full serve width ---------------
     F = fsch.total_width(fsch.WIDE_SCHEMA)
     mcfg = masknet.MaskNetConfig(
         num_features=F, num_heads=15, mask_blocks=4, block_dim=512,
         aggregation_dim=128, head_hidden=(256, 128),
-        # bf16 compute on TPU; CPU XLA lacks bf16 dots (smoke runs only)
-        dtype=("bfloat16" if jax.default_backend() == "tpu" else "float32"),
-    )
+        dtype=("bfloat16" if jax.default_backend() == "tpu" else "float32"))
     model = masknet.MaskNet(mcfg)
-    mparams = jax.device_put(model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, F), jnp.float32)), accel)
-    predict = jax.jit(
-        lambda p, x: jax.nn.sigmoid(model.apply(p, x)))
-    PB = 384  # fixed scoring batch (one compile; ~330 live candidates/req)
+    with host:
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, F), jnp.float32))
+    params = jax.device_put(params, accel)
+    scorer = dh.DeviceHydrationScorer(
+        tables, fns, resolvers, model, params,
+        masknet.DEFAULT_HEAD_WEIGHTS, pad_b=PB,
+        compute_dtype=(jnp.bfloat16 if jax.default_backend() == "tpu"
+                       else jnp.float32))
+    scorer.tables, scorer.params = tables, params
 
-    scored_counts = []
-
-    def predict_fn(x):
-        B = x.shape[0]
-        scored_counts.append(B)
-        xp = np.zeros((PB, F), np.float32)
-        xp[:min(B, PB)] = x[:PB]
-        # ship the feature matrix as bf16: the model computes in bf16
-        # anyway and the request upload halves (the tunnel transfer of the
-        # [PB, 6.7k] block dominates per-request scoring latency)
-        x_dev = jax.device_put(
-            jnp.asarray(xp).astype(jnp.bfloat16), accel)
-        return np.asarray(predict(mparams, x_dev))[:B]
-
-    pipeline = home_mixer.build_for_you_pipeline(
-        candidate_pipelines=[
-            CandidatePipeline(SannPrecomputed()),
-            CandidatePipeline(EbInNetwork()),
-            CandidatePipeline(DirectUteg()),
+    # OON legs: REAL SANN retrieval rows from the measured batch program
+    # (two product slices of the prod-shape index scan)
+    half = sann_ids.shape[0] // 2
+    seeds = rng.integers(0, NU, (NU, 8)).astype(np.int32)
+    engine = bf.BatchedForYouEngine(
+        batch_sources=[
+            bf.PrecomputedBatchSource(sann_ids[:half], sann_scores[:half]),
+            bf.EarlybirdBatchSource(eindex, NOW, max_results=700),
+            bf.UtegBatchSource(graph, lambda u: seeds[u % NU],
+                               max_results=400),
+            bf.PrecomputedBatchSource(
+                sann_ids[half:], sann_scores[half:], name="TweetMixer"),
         ],
-        hydrators=wh.build_wide_hydrators(**world),
-        predict_fn=predict_fn,
-        feature_schema=fsch.WIDE_SCHEMA,
+        scorer=scorer, head_names=masknet.DEFAULT_HEAD_NAMES,
+        lift=bf.ColumnsLift(A, NOW),
     )
 
-    import contextlib
+    def make_query(u):
+        return home_mixer.ForYouQuery(
+            user_id=int(u),
+            followed_authors=[int(a)
+                              for a in np.sort(rng.choice(A, 48, False))],
+            max_results=50, now=NOW)
 
-    def run_request(u):
-        # host feature store math on the local CPU device; the committed
-        # TPU structures keep retrieval + scoring on the chip (the
-        # JVM-hydrators + accelerator-model split of the reference)
-        ctx = (jax.default_device(cpu) if cpu is not None
-               else contextlib.nullcontext())
-        with ctx:
-            return pipeline.run(home_mixer.ForYouQuery(
-                user_id=u, followed_authors=[int(a) for a in follows[u]
-                                             if a != int(PAD_ID)],
-                max_results=50, now=NOW,
-            ))
+    # compile each (power-of-two) batch shape once
+    for R in (1, 2, 4, 8, 16, 32):
+        with host:
+            out = engine.serve_batch([make_query(u) for u in range(R)])
+        assert all(len(o) > 0 for o in out)
 
-    # warm: compile the three TPU programs + host paths
-    warm = run_request(0)
-    assert warm.candidates and not warm.failures, warm.failures
-    scored_counts.clear()
-    # serial phase: per-request latency distribution
+    # scored-candidate pressure (outside timing)
+    with host:
+        n_scored = float(np.mean(
+            [len(c) for c in engine._retrieve(
+                [make_query(u) for u in range(8)], None)]))
+
+    # serial phase: R=1, per-request latency distribution
+    U = 32
     lat = []
-    for u in range(U):
+    with host:
+        for u in range(U):
+            t0 = time.time()
+            engine.serve_batch([make_query(100 + u)])
+            lat.append(time.time() - t0 + sann_dt_per_request)
+    lat_ms = np.sort(np.asarray(lat)) * 1e3
+    serial_rps = 1.0 / float(np.mean(lat))
+
+    # batch-size curve
+    curve = []
+    for R in (4, 8, 16, 32):
+        batch = [make_query(200 + u) for u in range(R)]
+        reps = 4
         t0 = time.time()
-        out = run_request(u)
-        assert out.candidates
-        lat.append(time.time() - t0 + sann_dt_per_request)
-    lat_ms = np.sort(np.asarray(lat)) * 1000.0
-    # concurrent phase: the serving front overlaps requests (host hydration
-    # of one request with the TPU programs of another) — per-request state
-    # is isolated and selectors are stateless, so 4 workers share pipelines
+        with host:
+            for _ in range(reps):
+                engine.serve_batch(batch)
+        dt = (time.time() - t0) / reps + R * sann_dt_per_request
+        curve.append({"batch": R, "requests_per_s": round(R / dt, 1),
+                      "batch_ms": round(dt * 1e3, 1)})
+    best_rps = max(c["requests_per_s"] for c in curve)
+
+    # serving front: concurrent clients through the RequestBatcher
     from concurrent.futures import ThreadPoolExecutor
 
-    t0 = time.time()
-    with ThreadPoolExecutor(max_workers=4) as ex:
-        outs = list(ex.map(run_request, range(U)))
-    assert all(o.candidates for o in outs)
-    total = time.time() - t0 + U * sann_dt_per_request
+    from the_algorithm_tpu.serving.batcher import BatcherConfig, RequestBatcher
+
+    def serve(queries):
+        with host:
+            return engine.serve_batch(queries)
+
+    front = RequestBatcher(
+        serve, BatcherConfig(max_batch_size=32, max_delay_ms=10.0))
+    try:
+        N_REQ = 128
+        with ThreadPoolExecutor(max_workers=32) as ex:
+            t0 = time.time()
+            futs = [ex.submit(front.serve, make_query(300 + i))
+                    for i in range(N_REQ)]
+            outs = [f.result(timeout=120) for f in futs]
+            front_dt = time.time() - t0 + N_REQ * sann_dt_per_request
+        assert all(len(o) > 0 for o in outs)
+        front_rps = N_REQ / front_dt
+    finally:
+        front.close()
+
     return (
-        U / total,
+        serial_rps,
         float(lat_ms[int(0.5 * (U - 1))]),
         float(lat_ms[int(np.ceil(0.99 * (U - 1)))]),
-        float(np.mean(scored_counts)) if scored_counts else 0.0,
+        n_scored,
+        curve,
+        best_rps,
+        front_rps,
     )
 
 
@@ -718,7 +631,8 @@ def main():
 
     # end-to-end For You product path LAST (after the 8 GB lookup table is
     # freed — its per-request state is small but HBM headroom is not)
-    foryou_rps, foryou_p50, foryou_p99, foryou_scored = bench_foryou(
+    (foryou_rps, foryou_p50, foryou_p99, foryou_scored, foryou_curve,
+     foryou_batched, foryou_front) = bench_foryou_batched(
         ids_out, scores_out, dt / Q
     )
 
@@ -742,13 +656,19 @@ def main():
                 "sharded_queries_per_s": (
                     round(sharded_qps, 1) if sharded_qps else None
                 ),
-                # end-to-end For You product path (retrieve → wide hydrate →
-                # MaskNet → rescore → select); latency includes the ~24 ms
-                # tunnel RTT ×3 device programs per request
+                # end-to-end For You product path (batched engine: one
+                # earlybird scan + one UTEG traversal + one fused wide-
+                # hydration/MaskNet program shared by R requests). The
+                # serial number is R=1 (latency path); foryou_batched is
+                # the best point of the batch-size curve; foryou_front
+                # drives 128 concurrent clients through the RequestBatcher
                 "foryou_requests_per_s_per_chip": round(foryou_rps, 2),
                 "foryou_p50_ms": round(foryou_p50, 1),
                 "foryou_p99_ms": round(foryou_p99, 1),
                 "foryou_candidates_scored_per_request": round(foryou_scored, 1),
+                "foryou_batched_requests_per_s": round(foryou_batched, 1),
+                "foryou_front_requests_per_s": round(foryou_front, 1),
+                "foryou_batch_curve": foryou_curve,
                 "ranking_candidates_per_s_per_chip": round(ranking_cps, 1),
                 "ranking_mfu": mfu(ranking_flops_s),
                 "ranking_flops_per_candidate": (

@@ -232,7 +232,20 @@ class BatchedForYouEngine:
 
     def serve_batch(self, queries: Sequence, params=None) -> List[List[Candidate]]:
         """R queries → R ranked candidate lists (one device program per
-        phase). Returns object-model Candidates only for the final top-K."""
+        phase). Returns object-model Candidates only for the final top-K.
+
+        The batch pads to the next power of two (duplicating the last
+        query) so every device program compiles at a handful of stable
+        shapes — a serving front's ragged batch sizes would otherwise each
+        trigger a fresh XLA compile (navi pads the same way)."""
+        n = len(queries)
+        padded_n = max(1, 1 << (n - 1).bit_length())
+        if padded_n > n:
+            queries = list(queries) + [queries[-1]] * (padded_n - n)
+        out = self._serve_batch(queries, params)
+        return out[:n]
+
+    def _serve_batch(self, queries: Sequence, params=None):
         merged = self._retrieve(queries, params)
         if self.lift is not None:
             merged = [self.lift(c) for c in merged]
