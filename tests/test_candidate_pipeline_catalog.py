@@ -145,6 +145,27 @@ def make_world():
         similar_consumers_fn=lambda q: ([0, 1], [1.0, 0.5]),
         producer_engagers_fn=lambda p: ([int(p) % 8], [1.0]),
         producer_embedding_by_id_fn=lambda a: _emb((int(a) % 4,)),
+        # round-4 engine-tail stores
+        trip_embedding_stores={"model_a": lambda uid: _emb((0, 1))},
+        trip_index={("TOP_GEO", 0): [(1301, 0.9)],
+                    ("TOP_GEO", 1): [(1302, 0.8)],
+                    ("TOP_DOMAIN", 0): [(1303, 0.7)]},
+        trip_model_id="model_a",
+        two_tower_user_fn=lambda uid: items[int(uid) % T],
+        two_tower_items=jnp.asarray(items),
+        two_tower_item_ids=np.arange(T),
+        eb_seeds_fn=lambda q: ([2, 3], [1.0, 0.5]),
+        eb_model_score_fn=lambda f: f[:, 0],
+        eb_tf_score_fn=lambda f: f[:, 0] * 2.0,
+        lookup_engines={
+            "v1": cat.se.SimClustersANNEngine(
+                _cluster_index(base=100),
+                ann.SimClustersANNConfig(
+                    max_scan_clusters=4, max_top_tweets_per_cluster=4,
+                    max_num_results=8, max_tweet_candidate_age_hours=1000),
+                lambda q: _emb((0, 1))),
+        },
+        lookup_default_model="v1",
     )
 
 

@@ -12,7 +12,9 @@ from the_algorithm_tpu.core.config import Params
 from the_algorithm_tpu.graph import graphjet, uteg
 from the_algorithm_tpu.mixers import cr_mixer, similarity_engines as SE
 from the_algorithm_tpu.ops.retrieval import ClusterTweetIndex
+from the_algorithm_tpu.ops import sparse as sparse_mod
 from the_algorithm_tpu.ops.sparse import PAD_ID, SparseEmbedding
+from the_algorithm_tpu.pipeline.component import Candidate
 from the_algorithm_tpu.simclusters import ann
 
 P = Params()
@@ -274,3 +276,129 @@ class TestProducerBasedUTG:
         eng = SE.ProducerBasedUTGEngine(
             g, lambda p: ([], []), lambda q: ([1], [1.0]))
         assert eng.get(object(), None) == []
+
+
+class TestRoundFourEngines:
+    """Trip / TwoTower / EarlybirdModelBased / Lookup — the cr-mixer
+    engine tail (r4)."""
+
+    def _q(self, uid=3):
+        class Q:
+            user_id = uid
+        return Q()
+
+    def test_trip_engine_interleaves_clusters(self):
+        from the_algorithm_tpu.ops import sparse
+
+        def store(uid):
+            return sparse.SparseEmbedding(
+                jnp.asarray([5, 9, 2], jnp.int32),
+                jnp.asarray([0.9, 0.5, 0.2], jnp.float32))
+
+        trip = {
+            ("TOP_GEO", 5): [(100, 0.9), (101, 0.8)],
+            ("TOP_GEO", 9): [(200, 0.95), (100, 0.1)],
+            ("TOP_GEO", 2): [(300, 0.5)],
+        }
+        eng = SE.TripEngine({"model_a": store}, trip, "model_a",
+                            max_results=10)
+        got = eng.get(self._q(), None)
+        ids = [c.id for c in got]
+        # interleave across clusters by rank: level 0 of each cluster first
+        assert ids[:3] == [100, 200, 300]
+        by_id = {c.id: c.score for c in got}
+        assert by_id[100] == pytest.approx(0.9)  # best-score dedup
+
+    def test_trip_engine_unknown_model_raises(self):
+        with pytest.raises(KeyError):
+            SE.TripEngine({}, {}, "missing")
+
+    def test_two_tower_engine(self):
+        items = np.zeros((6, 4), np.float32)
+        items[2] = [1, 0, 0, 0]
+        items[4] = [0.9, 0.1, 0, 0]
+        ids = np.asarray([900, 901, 902, 903, 904, 905])
+        eng = SE.TwoTowerEngine(
+            lambda uid: np.asarray([1.0, 0, 0, 0], np.float32), items,
+            item_ids=ids, max_results=2)
+        got = eng.get(self._q(), None)
+        assert [c.id for c in got] == [902, 904]
+        assert got[0].score > got[1].score
+
+    def test_earlybird_model_based_engine(self):
+        import the_algorithm_tpu.search.earlybird as eb
+
+        T = 16
+        toks = np.full((T, 4), int(sparse_mod.PAD_ID), np.int32)
+        toks[:, 0] = 7
+        authors = (np.arange(T) % 4).astype(np.int32)
+        feats = np.zeros((T, len(eb.DOC_FEATURES)), np.float32)
+        feats[:, 0] = np.arange(T) / T  # model ranks by feature 0
+        idx = eb.EarlybirdIndex(
+            jnp.asarray(toks), jnp.asarray(authors),
+            jnp.asarray(np.full(T, 100, np.int32)), jnp.asarray(feats),
+            jnp.asarray(1000 + np.arange(T, dtype=np.int32)), jnp.int32(T))
+
+        def model_score(f):
+            return f[:, 0] * 10.0
+
+        # seeds: authors 1 and 2; author 2 gets a +5 adjustment
+        eng = SE.EarlybirdModelBasedEngine(
+            idx, lambda q: ([1, 2], [0.0, 5.0]), model_score,
+            max_results=6)
+        got = eng.get(self._q(), None)
+        assert got, "no candidates"
+        authors_of = {1000 + i: int(authors[i]) for i in range(T)}
+        for c in got:
+            assert authors_of[c.id] in (1, 2)  # seed-author scan
+        # the author-2 adjustment dominates: top candidate is author 2's
+        assert authors_of[got[0].id] == 2
+
+    def test_lookup_engine_routes_and_caches(self):
+        calls = []
+
+        class Fixed:
+            def __init__(self, name, ids):
+                self.name, self._ids = name, ids
+
+            def get(self, q, p):
+                calls.append(self.name)
+                return [Candidate(id=i, score=1.0, source=self.name)
+                        for i in self._ids]
+
+        clock = [0.0]
+        eng = SE.LookupEngine(
+            {"v1": Fixed("v1", [1, 2]), "v2": Fixed("v2", [3])},
+            default_model="v1", cache_ttl_s=10.0,
+            now_fn=lambda: clock[0])
+        got = eng.get(self._q(), None)
+        assert [c.id for c in got] == [1, 2]
+        assert got[0].features["lookup_model_id"] == "v1"
+        # cached within TTL
+        eng.get(self._q(), None)
+        assert calls == ["v1"]
+        clock[0] = 11.0
+        eng.get(self._q(), None)
+        assert calls == ["v1", "v1"]
+        # model routing via params
+        from the_algorithm_tpu.core.config import Params
+
+        got2 = eng.get(self._q(), Params({"lookup_model_id": "v2"}))
+        assert [c.id for c in got2] == [3]
+        assert eng.models() == ["v1", "v2"]
+
+    def test_new_specs_in_catalog_and_products(self):
+        from the_algorithm_tpu.mixers import candidate_pipeline_catalog as cpc
+        from the_algorithm_tpu.mixers import tweet_mixer_products as tmp
+
+        names = {s.name for s in cpc.catalog_specs()}
+        for n in ("trip_geo_popular", "trip_domain_popular",
+                  "two_tower_consumer", "earlybird_model_based",
+                  "earlybird_tensorflow_based",
+                  "offline_simclusters_lookup"):
+            assert n in names, n
+        assert len(names) >= 60
+        home = tmp.PRODUCT_SPECS[
+            tmp.TweetMixerProduct.HOME_RECOMMENDED_TWEETS].pipeline_names
+        assert "trip_geo_popular" in home
+        assert "two_tower_consumer" in home

@@ -119,6 +119,19 @@ class SourceWorld:
     twhin_user_items: Any = None  # [U, D] TwHIN USER embeddings
     similar_consumers_fn: Optional[Callable] = None  # q -> (ids, weights)
     producer_engagers_fn: Optional[Callable] = None  # producer -> (ids, w)
+    # r4 engine variants: trip popularity index, two-tower deep retrieval,
+    # model-scored earlybird, versioned lookup
+    trip_embedding_stores: Any = None  # {model_id: user_id -> SparseEmbedding}
+    trip_index: Any = None  # {(trip_source_id, cluster_id): [(tweet, score)]}
+    trip_model_id: Optional[str] = None
+    two_tower_user_fn: Optional[Callable] = None  # user_id -> [D]
+    two_tower_items: Any = None  # [N, D] item-tower table
+    two_tower_item_ids: Any = None  # [N] tweet ids (optional)
+    eb_seeds_fn: Optional[Callable] = None  # query -> (author_ids, weights)
+    eb_model_score_fn: Optional[Callable] = None  # features [T,F] -> [T]
+    eb_tf_score_fn: Optional[Callable] = None  # features [T,F] -> [T]
+    lookup_engines: Any = None  # {model_id: CandidateSource}
+    lookup_default_model: Optional[str] = None
 
 
 # query-signal extractors — the USS-derived signals a spec needs
@@ -322,6 +335,37 @@ def catalog_specs() -> List[PipelineSpec]:
     """The full spec table (one row ≡ one reference CandidatePipelineConfig)."""
     S = PipelineSpec
     return [
+        # -- r4 engine variants (cr-mixer engine tail)
+        S("trip_geo_popular", "trip", ("consumer",),
+          ("trip_embedding_stores", "trip_index", "trip_model_id"),
+          lambda w: se.TripEngine(
+              w.trip_embedding_stores, w.trip_index, w.trip_model_id,
+              trip_source_id="TOP_GEO",
+              name="ConsumerEmbeddingBasedTripSimilarityEngine")),
+        S("trip_domain_popular", "trip", ("consumer",),
+          ("trip_embedding_stores", "trip_index", "trip_model_id"),
+          lambda w: se.TripEngine(
+              w.trip_embedding_stores, w.trip_index, w.trip_model_id,
+              trip_source_id="TOP_DOMAIN",
+              name="TripDomainPopularTweets")),
+        S("two_tower_consumer", "deep_retrieval", ("consumer",),
+          ("two_tower_user_fn", "two_tower_items"),
+          lambda w: se.TwoTowerEngine(
+              w.two_tower_user_fn, w.two_tower_items,
+              item_ids=w.two_tower_item_ids)),
+        S("earlybird_model_based", "earlybird", ("consumer",),
+          ("earlybird_index", "eb_seeds_fn", "eb_model_score_fn"),
+          lambda w: se.EarlybirdModelBasedEngine(
+              w.earlybird_index, w.eb_seeds_fn, w.eb_model_score_fn)),
+        S("earlybird_tensorflow_based", "earlybird", ("consumer",),
+          ("earlybird_index", "eb_seeds_fn", "eb_tf_score_fn"),
+          lambda w: se.EarlybirdTensorflowBasedEngine(
+              w.earlybird_index, w.eb_seeds_fn, w.eb_tf_score_fn)),
+        S("offline_simclusters_lookup", "lookup", ("consumer",),
+          ("lookup_engines", "lookup_default_model"),
+          lambda w: se.LookupEngine(
+              w.lookup_engines, w.lookup_default_model,
+              cache_ttl_s=600.0)),
         # -- in-network search
         S("earlybird_in_network", "earlybird", ("consumer", "follows"),
           ("earlybird_index", "earlybird_query_fn"),

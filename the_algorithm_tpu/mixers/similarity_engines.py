@@ -620,3 +620,266 @@ class ProducerBasedUTGEngine(CandidateSource):
         for i, c in enumerate(cands):
             c.features["social_proof"] = float(proof_np[i])
         return cands
+
+
+class TripEngine(CandidateSource):
+    """Trip (geo/trending popularity) retrieval by consumer embedding
+    ≡ ``ConsumerEmbeddingBasedTripSimilarityEngine.scala``: take the
+    viewer's top SimClusters, fetch each cluster's trip-tweet row from the
+    (trip_source × cluster) popularity index, cap per cluster, and
+    interleave-dedup keeping the best score — the "popular near your
+    interests" source (trip_v1 trends index).
+    """
+
+    MAX_CLUSTERS = 8  # reference MaxClusters
+    MAX_PER_CLUSTER = 200  # reference MaxNumResultsPerCluster
+
+    def __init__(
+        self,
+        embedding_stores,  # {model_id: user_id -> SparseEmbedding}
+        trip_index,  # {(trip_source_id, cluster_id): [(tweet, score)]}
+        model_id: str,
+        trip_source_id: str = "TOP_GEO",
+        max_results: int = 200,
+        name: str = "ConsumerEmbeddingBasedTripSimilarityEngine",
+    ):
+        if model_id not in embedding_stores:
+            raise KeyError(f"model_id {model_id} not in embedding stores")
+        self._store = embedding_stores[model_id]
+        self._trip = trip_index
+        self._trip_source = trip_source_id
+        self.max_results = max_results
+        self._name = name
+
+    @property
+    def name(self):
+        return self._name
+
+    def get(self, query, params) -> List[Candidate]:
+        emb = self._store(int(query.user_id))
+        if emb is None:
+            return []
+        ids = np.asarray(emb.ids)
+        scores = np.asarray(emb.scores)
+        order = np.argsort(-scores)
+        top_clusters = [int(c) for c in ids[order]
+                        if int(c) != int(PAD_ID)][: self.MAX_CLUSTERS]
+        per_cluster = [
+            list(self._trip.get((self._trip_source, c), ()))
+            [: self.MAX_PER_CLUSTER]
+            for c in top_clusters
+        ]
+        # interleave across clusters, dedup keeping best score
+        best: dict = {}
+        rank = 0
+        order_ids: List[int] = []
+        for level in range(max((len(p) for p in per_cluster), default=0)):
+            for p in per_cluster:
+                if level < len(p):
+                    t, s = int(p[level][0]), float(p[level][1])
+                    if t not in best:
+                        order_ids.append(t)
+                    if t not in best or s > best[t]:
+                        best[t] = s
+                    rank += 1
+        out = [
+            Candidate(id=t, score=best[t], source=self._name,
+                      features={"retrieval_score": best[t]})
+            for t in order_ids[: self.max_results]
+        ]
+        return out
+
+
+class TwoTowerEngine(CandidateSource):
+    """Deep-retrieval two-tower ANN ≡
+    ``ConsumerEmbeddingBasedTwoTowerSimilarityEngine.scala``: embed the
+    viewer with the trained user tower and take exact cosine top-K over
+    the device-resident item-tower table (the VecDB/GPU-retrieval role of
+    ``DeepRetrievalUserTweetANNCandidateSource`` served on-chip)."""
+
+    def __init__(
+        self,
+        user_embed_fn,  # user_id -> [D] device/np vector
+        item_table,  # [N, D] item-tower embeddings (device-resident)
+        item_ids=None,  # [N] tweet ids (None -> row index is the id)
+        max_results: int = 200,
+        name: str = "ConsumerEmbeddingBasedTwoTowerSimilarityEngine",
+    ):
+        from the_algorithm_tpu.models import two_tower
+
+        self._embed = user_embed_fn
+        self._items = jnp.asarray(item_table)
+        self._item_ids = (np.asarray(item_ids)
+                          if item_ids is not None else None)
+        self.max_results = max_results
+        self._name = name
+        self._jit = jax.jit(
+            lambda q, items: two_tower.retrieve_top_k(
+                q[None, :], items, max_results))
+
+    @property
+    def name(self):
+        return self._name
+
+    def get(self, query, params) -> List[Candidate]:
+        u = jnp.asarray(self._embed(int(query.user_id)))
+        rows, scores = self._jit(u, self._items)
+        rows = np.asarray(rows)[0]
+        scores = np.asarray(scores)[0]
+        ids = self._item_ids[rows] if self._item_ids is not None else rows
+        return _to_candidates(ids, scores, self.name)
+
+
+class EarlybirdModelBasedEngine(CandidateSource):
+    """Model-scored earlybird retrieval ≡
+    ``EarlybirdModelBasedSimilarityEngine.scala``: scan tweets from seed
+    users (FRS/RealGraph top authors) and rank by a trained model score
+    (the in-index ``ModelBasedScoringFunction`` with the light ranker's
+    linear model) plus per-author score adjustments from the seed weights.
+    """
+
+    MAX_HITS = 1000  # reference MaxHitsToProcess
+
+    def __init__(
+        self,
+        index: eb.EarlybirdIndex,
+        seeds_fn,  # query -> (author_ids [S], weights [S])
+        model_score_fn,  # features [T, F] -> [T] model scores
+        max_results: int = 200,
+        name: str = "EarlybirdModelBasedSimilarityEngine",
+    ):
+        self.index = index
+        self._seeds_fn = seeds_fn
+        self.max_results = max_results
+        self._name = name
+
+        def run(tok, au, ts, ft, ti, seed_authors, seed_weights):
+            idx = eb.EarlybirdIndex(tok, au, ts, ft, ti, jnp.int32(0))
+            sq = eb.SearchQuery(
+                tokens=jnp.full((1,), int(PAD_ID), jnp.int32),
+                require_all=True, min_ts=jnp.int32(0),
+                max_ts=jnp.int32(2**31 - 1),
+                followed_authors=seed_authors,
+            )
+            # over-retrieve (the MaxHitsToProcess pool), adjust, re-rank:
+            # the adjustment changes the ORDER, not just the score
+            pool = min(self.MAX_HITS, ti.shape[0])
+            ids, scores = eb.search(
+                idx, sq, max_results=pool,
+                model_score_fn=model_score_fn)
+            # authorSpecificScoreAdjustments: add the seed weight of the
+            # candidate's author to its model score
+            adj_rows = jnp.argmax(
+                (au[:, None] == seed_authors[None, :]).astype(jnp.int32),
+                axis=1)
+            # map retrieved tweet -> author adjustment via id match
+            pos = jnp.argmax(
+                (ti[None, :] == ids[:, None]).astype(jnp.int32), axis=1)
+            adj = jnp.where(ids != PAD_ID, seed_weights[adj_rows[pos]],
+                            -jnp.inf)
+            adjusted = jnp.where(jnp.isfinite(scores), scores + adj,
+                                 -jnp.inf)
+            k = min(max_results, pool)
+            top, sel = jax.lax.top_k(adjusted, k)
+            return (
+                jnp.where(jnp.isfinite(top), ids[sel], PAD_ID), top)
+
+        self._jit = jax.jit(run)
+
+    @property
+    def name(self):
+        return self._name
+
+    def get(self, query, params) -> List[Candidate]:
+        authors, weights = self._seeds_fn(query)
+        i = self.index
+        ids, scores = self._jit(
+            i.tokens, i.author, i.created_ts, i.features, i.tweet_ids,
+            jnp.asarray(np.sort(np.asarray(authors)), jnp.int32),
+            jnp.asarray(weights, jnp.float32),
+        )
+        return _to_candidates(ids, scores, self.name)
+
+
+class EarlybirdTensorflowBasedEngine(EarlybirdModelBasedEngine):
+    """≡ ``EarlybirdTensorflowBasedSimilarityEngine.scala`` — the same
+    seed-user scan ranked by the full learned ranker (TF in the reference;
+    here any jitted model forward over the doc-feature block). Differs
+    from the model-based engine only in which trained artifact supplies
+    ``model_score_fn`` — kept as a distinct engine for catalog parity."""
+
+    def __init__(self, index, seeds_fn, tf_score_fn, max_results=200,
+                 name="EarlybirdTensorflowBasedSimilarityEngine"):
+        super().__init__(index, seeds_fn, tf_score_fn,
+                         max_results=max_results, name=name)
+
+
+from the_algorithm_tpu.core.config import Param as _Param  # noqa: E402
+
+# the lookup key param — which versioned model the lookup engine serves
+# (≡ LookupEngineQuery.lookupKey / modelId)
+LOOKUP_MODEL_ID: "_Param[Optional[str]]" = _Param("lookup_model_id", None)
+
+
+class LookupEngine(CandidateSource):
+    """Versioned model-store lookup ≡ ``LookupSimilarityEngine.scala`` +
+    ``ModelBasedANNStore.scala``: a modelId → underlying engine map with
+    per-model stats and an optional TTL cache (the MemCacheConfig layer).
+    The lookup key (model id) comes from params or the engine default —
+    e.g. OfflineSimClusters variants served side by side."""
+
+    def __init__(
+        self,
+        engines,  # {model_id: CandidateSource}
+        default_model: str,
+        cache_ttl_s: Optional[float] = None,
+        now_fn=None,
+        stats=None,
+        name: str = "LookupSimilarityEngine",
+    ):
+        import time as _time
+
+        if default_model not in engines:
+            raise KeyError(f"default model {default_model} missing")
+        self._engines = dict(engines)
+        self._default = default_model
+        self._ttl = cache_ttl_s
+        self._now = now_fn or _time.monotonic
+        self._cache: dict = {}
+        from the_algorithm_tpu.core.metrics import NullStats
+
+        self.stats = stats or NullStats()
+        self._name = name
+
+    @property
+    def name(self):
+        return self._name
+
+    def models(self) -> List[str]:
+        return sorted(self._engines)
+
+    def get(self, query, params) -> List[Candidate]:
+        model_id = self._default
+        if params is not None:
+            try:
+                model_id = params(LOOKUP_MODEL_ID) or self._default
+            except TypeError:
+                pass
+        eng = self._engines.get(model_id)
+        if eng is None:
+            raise KeyError(f"unknown model_id {model_id}")
+        scope = self.stats.scope(f"similarityEngine/{model_id}")
+        key = (model_id, int(getattr(query, "user_id", 0)))
+        if self._ttl is not None:
+            hit = self._cache.get(key)
+            if hit is not None and self._now() - hit[0] < self._ttl:
+                scope.counter("cache_hit")
+                return list(hit[1])
+        with scope.time("latency"):
+            got = eng.get(query, params)
+        if self._ttl is not None:
+            self._cache[key] = (self._now(), list(got))
+        for c in got:
+            c.source = self._name
+            c.features.setdefault("lookup_model_id", model_id)
+        return got

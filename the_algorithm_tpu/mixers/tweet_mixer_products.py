@@ -55,13 +55,16 @@ PRODUCT_SPECS: Dict[TweetMixerProduct, ProductSpec] = {
              "deep_retrieval_tweet_tweet", "uteg", "utg_tweet_based",
              "utg_expansion_tweet_based", "earlybird_in_network",
              "diffusion", "twhin_collab_filter", "consumers_based_utg",
-             "producer_based_utg"),
+             "producer_based_utg", "trip_geo_popular",
+             "trip_domain_popular", "two_tower_consumer",
+             "earlybird_model_based", "offline_simclusters_lookup"),
             max_results=400,
         ),
         ProductSpec(
             TweetMixerProduct.NOTIFICATIONS_RECOMMENDED_TWEETS,
             ("simclusters_interested_in", "twhin_consumer_based",
-             "deep_retrieval_user_tweet", "uteg", "utg_producer_based"),
+             "deep_retrieval_user_tweet", "uteg", "utg_producer_based",
+             "earlybird_tensorflow_based"),
             max_results=100,
         ),
         ProductSpec(
