@@ -350,7 +350,9 @@ def bench_lookup():
     return rows_per_s, bytes_moved / dt, dt_bare / dt
 
 
-def bench_foryou_batched(sann_ids, sann_scores, sann_dt_per_request):
+def bench_foryou_batched(sann_ids, sann_scores, sann_dt_per_request,
+                         exact_corpus=None, q_embs=None,
+                         recall_approx=None):
     """End-to-end For You product via the batched engine (the r4 path).
 
     R concurrent requests share EVERY device program: one earlybird
@@ -526,6 +528,51 @@ def bench_foryou_batched(sann_ids, sann_scores, sann_dt_per_request):
     finally:
         front.close()
 
+    # exact-retrieval quality tier: a sticky decider routes half the users
+    # through the EXACT full-corpus scan (recall 1.0) — product behavior,
+    # not a bench mode (TieredSannBatchSource + EXACT_RETRIEVAL_TIER param)
+    exact_tier = None
+    if exact_corpus is not None and q_embs is not None:
+        from the_algorithm_tpu.core.decider import Decider
+
+        ti_d, tsc_d = exact_corpus
+        eq_ids, eq_scores = q_embs
+
+        def emb_fn(uid):
+            r = uid % eq_ids.shape[0]
+            return eq_ids[r].astype(np.int32), eq_scores[r]
+
+        exact_src = bf.ExactScanBatchSource(
+            ti_d, tsc_d, emb_fn, num_clusters=C, max_results=200)
+        availability = 5000  # 50% of traffic, sticky per user
+        decider = Decider({"exact_retrieval_tier": availability})
+        tiered = bf.TieredSannBatchSource(
+            bf.PrecomputedBatchSource(sann_ids[:half], sann_scores[:half]),
+            exact_src, decider)
+        tier_engine = bf.BatchedForYouEngine(
+            batch_sources=[tiered] + engine.batch_sources[1:],
+            scorer=scorer, head_names=masknet.DEFAULT_HEAD_NAMES,
+            lift=bf.ColumnsLift(A, NOW),
+        )
+        R = 16
+        batch = [make_query(400 + u) for u in range(R)]
+        with host:
+            tier_engine.serve_batch(batch)  # compile
+            reps = 3
+            t0 = time.time()
+            for _ in range(reps):
+                outs_t = tier_engine.serve_batch(batch)
+            dt = (time.time() - t0) / reps + R * sann_dt_per_request
+        assert all(len(o) > 0 for o in outs_t)
+        p = availability / 10000.0
+        exact_tier = {
+            "availability": p,
+            "requests_per_s": round(R / dt, 1),
+            "blended_retrieval_recall": (
+                round(p * 1.0 + (1 - p) * recall_approx, 4)
+                if recall_approx is not None else None),
+        }
+
     return (
         serial_rps,
         float(lat_ms[int(0.5 * (U - 1))]),
@@ -534,6 +581,7 @@ def bench_foryou_batched(sann_ids, sann_scores, sann_dt_per_request):
         curve,
         best_rps,
         front_rps,
+        exact_tier,
     )
 
 
@@ -617,6 +665,13 @@ def main():
     oracle_parity = oracle_hits / max(oracle_total, 1)
 
     # free the retrieval state before the big-table/ranking phases
+    # (keep the padded corpus host copies for the exact-tier product phase)
+    BLK = 8192
+    T_pad = ((T + BLK - 1) // BLK) * BLK
+    exact_ti = np.full((T_pad, KT), int(PAD_ID), np.int32)
+    exact_tsc = np.zeros((T_pad, KT), np.float32)
+    exact_ti[:T] = tweet_ids
+    exact_tsc[:T] = tweet_scores
     del index, query_fn, truth
     del tweet_ids, tweet_scores, idx_ids, idx_scores, idx_ts
 
@@ -632,8 +687,10 @@ def main():
     # end-to-end For You product path LAST (after the 8 GB lookup table is
     # freed — its per-request state is small but HBM headroom is not)
     (foryou_rps, foryou_p50, foryou_p99, foryou_scored, foryou_curve,
-     foryou_batched, foryou_front) = bench_foryou_batched(
-        ids_out, scores_out, dt / Q
+     foryou_batched, foryou_front, foryou_exact_tier) = bench_foryou_batched(
+        ids_out, scores_out, dt / Q,
+        exact_corpus=(jnp.asarray(exact_ti), jnp.asarray(exact_tsc)),
+        q_embs=(q_ids, q_scores), recall_approx=recall,
     )
 
     def mfu(flops_s):
@@ -669,6 +726,8 @@ def main():
                 "foryou_batched_requests_per_s": round(foryou_batched, 1),
                 "foryou_front_requests_per_s": round(foryou_front, 1),
                 "foryou_batch_curve": foryou_curve,
+                # the exact-retrieval quality tier as PRODUCT behavior
+                "foryou_exact_tier": foryou_exact_tier,
                 "ranking_candidates_per_s_per_chip": round(ranking_cps, 1),
                 "ranking_mfu": mfu(ranking_flops_s),
                 "ranking_flops_per_candidate": (

@@ -214,3 +214,86 @@ def test_request_batcher_coalesces(setup):
         assert max(calls) > 1  # at least one coalesced batch
     finally:
         front.close()
+
+
+class TestExactScanTier:
+    """The exact full-corpus retrieval quality tier (product behavior)."""
+
+    def _world(self):
+        rng = np.random.default_rng(3)
+        T, K, C = 1 << 13, 4, 64
+        # DISTINCT cluster ids per row (duplicate ids make the dense
+        # oracle's norm differ from the sparse Σs² norm)
+        corpus_cl = np.argsort(
+            rng.random((T, C)), axis=1)[:, :K].astype(np.int32)
+        corpus_sc = rng.random((T, K)).astype(np.float32)
+
+        def emb(uid):
+            r = np.random.default_rng(uid)
+            return (r.choice(C, 6, replace=False).astype(np.int32),
+                    r.random(6).astype(np.float32))
+
+        exact = bf.ExactScanBatchSource(
+            jnp.asarray(corpus_cl), jnp.asarray(corpus_sc), emb,
+            num_clusters=C, max_results=32, block=1 << 13)
+        return corpus_cl, corpus_sc, emb, exact
+
+    def test_exact_scan_matches_bruteforce(self):
+        corpus_cl, corpus_sc, emb, exact = self._world()
+
+        class Q:
+            user_id = 11
+
+        got = exact.get_batch([Q()], None)[0]
+        # brute-force cosine truth in numpy
+        cl, sc = emb(11)
+        dense_q = np.zeros(64); np.add.at(dense_q, cl, sc)
+        dense_c = np.zeros((corpus_cl.shape[0], 64))
+        np.add.at(dense_c, (np.arange(corpus_cl.shape[0])[:, None],
+                            corpus_cl), corpus_sc)
+        sims = (dense_c @ dense_q) / (
+            np.linalg.norm(dense_c, axis=1) * np.linalg.norm(dense_q) + 1e-9)
+        want = set(np.argsort(-sims)[:32].tolist())
+        assert len(set(got.ids.tolist()) & want) >= 31  # ties at the edge
+
+    def test_tier_routing_is_sticky_and_param_forced(self):
+        from the_algorithm_tpu.core.config import Params
+        from the_algorithm_tpu.core.decider import Decider
+        from the_algorithm_tpu.mixers.home_products import (
+            EXACT_RETRIEVAL_TIER)
+
+        _, _, emb, exact = self._world()
+        approx_calls = []
+
+        class Approx(bf.BatchCandidateSource):
+            name = "simclusters_interested_in"
+
+            def get_batch(self, queries, params):
+                approx_calls.extend(q.user_id for q in queries)
+                return [bf.CandidateColumns(
+                    np.asarray([1, 2]), np.asarray([0.5, 0.4], np.float32))
+                    for _ in queries]
+
+        decider = Decider({"exact_retrieval_tier": 5000})
+        tiered = bf.TieredSannBatchSource(Approx(), exact, decider)
+
+        class Q:
+            def __init__(self, u):
+                self.user_id = u
+
+        queries = [Q(u) for u in range(16)]
+        got = tiered.get_batch(queries, None)
+        assert len(got) == 16
+        in_tier = [bool(c.cols.get("exact_tier") is not None) for c in got]
+        assert any(in_tier) and not all(in_tier)  # split traffic
+        # stickiness: same split on a second call
+        got2 = tiered.get_batch(queries, None)
+        assert [bool(c.cols.get("exact_tier") is not None)
+                for c in got2] == in_tier
+        # param override forces the tier on
+        got3 = tiered.get_batch(
+            [Q(999)], Params({EXACT_RETRIEVAL_TIER: True}))
+        assert got3[0].cols.get("exact_tier") is not None
+        got4 = tiered.get_batch(
+            [Q(999)], Params({EXACT_RETRIEVAL_TIER: False}))
+        assert got4[0].cols.get("exact_tier") is None

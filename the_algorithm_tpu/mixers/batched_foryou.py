@@ -407,3 +407,111 @@ class UtegBatchSource(BatchCandidateSource):
             c.cols["social_proof"] = proof[i][ok].astype(np.float32)
             out.append(c)
         return out
+
+
+class ExactScanBatchSource(BatchCandidateSource):
+    """Full-corpus exact cosine retrieval as a product source.
+
+    ≡ nothing in the reference — this is the framework's beat-the-
+    reference lever: with the tweet corpus resident in HBM, EXACT cosine
+    top-K over every tweet (recall 1.0 by construction) is affordable for
+    a slice of traffic (``retrieval.exact_cosine_scan``).
+    """
+
+    name = "simclusters_interested_in"  # serves the same SANN slot
+
+    def __init__(self, corpus_ids, corpus_scores, embedding_fn,
+                 num_clusters: int, max_results: int = 200,
+                 row_to_id=None, block: int = 8192):
+        from the_algorithm_tpu.ops import retrieval
+
+        self._ids = corpus_ids
+        self._scores = corpus_scores
+        self._emb = embedding_fn  # user_id -> (cl [N], sc [N]) np arrays
+        self._row_to_id = row_to_id
+        import functools
+
+        self._jit = jax.jit(functools.partial(
+            retrieval.exact_cosine_scan, num_clusters=num_clusters,
+            max_results=max_results, block=block))
+
+    def dispatch(self, queries, params):
+        from the_algorithm_tpu.ops import sparse as sp
+
+        cls, scs = zip(*(self._emb(int(q.user_id)) for q in queries))
+        src = sp.SparseEmbedding(
+            jnp.asarray(np.stack(cls), jnp.int32),
+            jnp.asarray(np.stack(scs), jnp.float32))
+        rows, scores = self._jit(self._ids, self._scores, src)
+        return jnp.stack(
+            [rows, jax.lax.bitcast_convert_type(scores, jnp.int32)], -1)
+
+    def collect(self, handle):
+        packed = np.asarray(handle)
+        rows = packed[..., 0]
+        scores = packed[..., 1].view(np.float32)
+        out = []
+        for i in range(rows.shape[0]):
+            ids = rows[i]
+            if self._row_to_id is not None:
+                ids = self._row_to_id[ids]
+            ok = scores[i] > -np.inf
+            out.append(CandidateColumns(ids[ok], scores[i][ok]))
+        return out
+
+
+class TieredSannBatchSource(BatchCandidateSource):
+    """Quality-tier routing for the SANN leg ≡ the configapi experiment
+    bucketing pattern: requests whose user falls in the sticky decider
+    bucket (``exact_retrieval_tier`` availability dial) retrieve via the
+    EXACT full-corpus scan; the rest use the approximate cluster-index
+    rows. Per-request override via the ``exact_retrieval_tier`` Param.
+    """
+
+    name = "simclusters_interested_in"
+    FEATURE = "exact_retrieval_tier"
+
+    def __init__(self, approx: BatchCandidateSource,
+                 exact: ExactScanBatchSource, decider):
+        self._approx = approx
+        self._exact = exact
+        self._decider = decider
+
+    def _in_tier(self, q, params) -> bool:
+        if params is not None:
+            try:
+                from the_algorithm_tpu.mixers.home_products import (
+                    EXACT_RETRIEVAL_TIER)
+
+                forced = params(EXACT_RETRIEVAL_TIER)
+                if forced is not None:
+                    return bool(forced)
+            except Exception:
+                pass
+        return self._decider.is_available_for_id(
+            self.FEATURE, int(q.user_id))
+
+    def dispatch(self, queries, params):
+        tiers = [self._in_tier(q, params) for q in queries]
+        exact_q = [q for q, t in zip(queries, tiers) if t]
+        approx_q = [q for q, t in zip(queries, tiers) if not t]
+        h_exact = self._exact.dispatch(exact_q, params) if exact_q else None
+        return (tiers, h_exact, approx_q)
+
+    def collect(self, handle):
+        tiers, h_exact, approx_q = handle
+        exact_cols = (self._exact.collect(h_exact)
+                      if h_exact is not None else [])
+        approx_cols = (self._approx.get_batch(approx_q, None)
+                       if approx_q else [])
+        out, ei, ai = [], 0, 0
+        for t in tiers:
+            if t:
+                c = exact_cols[ei]
+                c.cols["exact_tier"] = np.ones(len(c), np.float32)
+                out.append(c)
+                ei += 1
+            else:
+                out.append(approx_cols[ai])
+                ai += 1
+        return out

@@ -39,6 +39,14 @@ from the_algorithm_tpu.pipeline.mixer import (
     TimelineEntry,
 )
 from the_algorithm_tpu.search import earlybird
+
+from the_algorithm_tpu.core.config import Param
+
+# quality-tier experiment param: force a request into (True) or out of
+# (False) the EXACT full-corpus retrieval tier; None defers to the sticky
+# ``exact_retrieval_tier`` decider dial (the configapi FSParam pattern:
+# experiment-bucketed per-request override over a fleet availability)
+EXACT_RETRIEVAL_TIER: "Param" = Param("exact_retrieval_tier", None)
 from the_algorithm_tpu.ops.sparse import PAD_ID
 
 
