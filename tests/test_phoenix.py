@@ -343,3 +343,171 @@ class TestPhoenixTrainingQuality:
             jax.nn.sigmoid(probs[:, :, fav]).reshape(-1),
             labels[:, :, fav].reshape(-1)))
         assert auc > 0.75, auc
+
+
+class TestPhoenixLoop:
+    """The serve → log → retrain → rescore round trip (r4 loop closure:
+    PhoenixRescoringFeatureHydrator + ScoredPhoenixCandidates side effect
+    + PhoenixModelRerankingScorer)."""
+
+    def _store_and_candidates(self):
+        from the_algorithm_tpu.mixers import phoenix_loop as pl
+
+        clock = [0.0]
+        store = pl.PhoenixScoreStore(ttl_s=100.0, now_fn=lambda: clock[0])
+        cands = []
+        for i in range(4):
+            cands.append(Candidate(
+                id=100 + i, score=0.5,
+                features={"author_id": i,
+                          "phoenix_fav": 0.8 if i == 0 else 0.0,
+                          "phoenix_reply": 0.2 if i == 0 else 0.0}))
+        return pl, store, clock, cands
+
+    def _q(self, uid=7, now=1000):
+        class Q:
+            pass
+
+        q = Q()
+        q.user_id = uid
+        q.now = now
+        q.features = {}
+        return q
+
+    def test_side_effect_feeds_store_and_log(self):
+        pl, store, clock, cands = self._store_and_candidates()
+        se = pl.ScoredPhoenixCandidatesSideEffect(store)
+        se.run(self._q(), cands, None)
+        # only the phoenix-scored candidate logs
+        assert len(se.log) == 1 and se.log[0].tweet_id == 100
+        assert store.get(7, 100) is not None
+        assert store.get(7, 101) is None
+        # TTL expiry
+        clock[0] = 200.0
+        assert store.get(7, 100) is None
+
+    def test_rescoring_hydrator_and_reranker(self):
+        pl, store, clock, cands = self._store_and_candidates()
+        pl.ScoredPhoenixCandidatesSideEffect(store).run(
+            self._q(), cands, None)
+        # next request: same candidate hydrates + reranks
+        fresh = [Candidate(id=100, score=1.0, features={}),
+                 Candidate(id=101, score=1.0, features={})]
+        pl.PhoenixRescoringFeatureHydrator(store).hydrate(
+            self._q(), fresh, None)
+        assert fresh[0].features["phoenix_rescoring_fav"] == pytest.approx(0.8)
+        assert "phoenix_rescoring_fav" not in fresh[1].features
+        pl.PhoenixModelRerankingScorer(alpha=0.5).score(
+            self._q(), fresh, None)
+        assert fresh[0].features.get("phoenix_reranked") == 1.0
+        assert fresh[0].score != 1.0  # blended
+        assert fresh[1].score == 1.0  # untouched without rescoring data
+
+    def test_pipeline_round_trip_serve_log_retrain(self):
+        """serve → side-effect log → retrain Phoenix on the log → the
+        retrained model separates engaged from unengaged candidates."""
+        import optax
+
+        from the_algorithm_tpu.mixers import phoenix_loop as pl
+        from the_algorithm_tpu.models import phoenix as px
+
+        rng = np.random.default_rng(0)
+        L, C, NB = 8, 8, px.NUM_BOOL_FEATURES
+        store = pl.PhoenixScoreStore()
+        se = pl.ScoredPhoenixCandidatesSideEffect(store)
+
+        # 1. SERVE: log several requests with phoenix-scored candidates
+        for uid in range(6):
+            cands = []
+            for i in range(C):
+                cands.append(Candidate(
+                    id=1000 * uid + i, score=0.5,
+                    features={"author_id": (uid + i) % 16,
+                              "phoenix_fav": float(rng.random())}))
+            se.run(self._q(uid=uid, now=100 + uid), cands, None)
+        assert len(se.log) == 6 * C
+
+        # 2. LABELS: users faved even tweet ids (the UUA join)
+        engagements = {
+            (r.user_id, r.tweet_id): [int(px.ActionName.SERVER_TWEET_FAV)]
+            for r in se.log if r.tweet_id % 2 == 0
+        }
+
+        def seq_for(uid):
+            return px.UserActionSequence(
+                jnp.zeros(L, jnp.int32), jnp.zeros(L, jnp.int32),
+                jnp.zeros(L, jnp.int32), jnp.zeros(L, bool))
+
+        batches = pl.training_batch(
+            se.log, engagements, seq_for, author_buckets=64,
+            max_candidates=C)
+        assert len(batches) == 6
+
+        # 3. RETRAIN on the log
+        cfg = px.PhoenixConfig(
+            d_model=16, n_layers=1, n_heads=2, max_history=L,
+            author_buckets=64)
+        model = px.PhoenixModel(cfg)
+        seq0, cands0, labels0 = batches[0]
+        params = model.init(jax.random.PRNGKey(0), seq0, cands0)
+        tx = optax.adam(1e-2)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, opt, seq, cands, labels):
+            def loss_fn(p):
+                logits = model.apply(p, seq, cands)
+                return px.multi_action_loss(logits, labels, cands.valid)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt = tx.update(grads, opt)
+            return optax.apply_updates(params, updates), opt, loss
+
+        first = last = None
+        for epoch in range(60):
+            for seq, cands, labels in batches:
+                params, opt, loss = step(params, opt, seq, cands, labels)
+                if first is None:
+                    first = float(loss)
+        last = float(loss)
+        assert last < first * 0.7, (first, last)
+
+        # 4. SCORE DELTA: the retrained model rates an engaged candidate
+        # above an unengaged one (even ids were faved; the model keys on
+        # the learnable per-candidate inputs)
+        probs = px.predict_next_actions(model, params, seq0, cands0)
+        fav = np.asarray(probs[:, int(px.ActionName.SERVER_TWEET_FAV)])
+        recs = sorted(se.log[:C], key=lambda r: r.position)
+        even = [i for i, r in enumerate(recs) if r.tweet_id % 2 == 0]
+        odd = [i for i, r in enumerate(recs) if r.tweet_id % 2 == 1]
+        assert fav[even].mean() > fav[odd].mean()
+
+    def test_builder_wires_loop(self):
+        from the_algorithm_tpu.mixers import home_mixer, phoenix_loop as pl
+        from the_algorithm_tpu.pipeline.component import (
+            CandidatePipeline, CandidateSource)
+
+        class Src(CandidateSource):
+            name = "s"
+
+            def get(self, query, params):
+                return [Candidate(id=1, features={
+                    "author_id": 1, "created_ts": 999, "phoenix_fav": 0.9})]
+
+        store = pl.PhoenixScoreStore()
+        pipe = home_mixer.build_for_you_pipeline(
+            candidate_pipelines=[CandidatePipeline(Src())],
+            hydrators=[],
+            predict_fn=lambda x: np.full((x.shape[0], 15), 0.5, np.float32),
+            feature_schema=home_mixer.DEFAULT_FEATURE_SCHEMA,
+            phoenix_rescoring_store=store,
+        )
+        q1 = home_mixer.ForYouQuery(user_id=3, now=1000)
+        out = pipe.run(q1)
+        assert out.candidates and len(store) == 1  # side effect fed store
+        # second serve: rescoring hydrates + reranks
+        q2 = home_mixer.ForYouQuery(user_id=3, now=1001)
+        out2 = pipe.run(q2)
+        c = out2.candidates[0]
+        assert c.features.get("phoenix_rescoring_fav") == pytest.approx(0.9)
+        assert c.features.get("phoenix_reranked") == 1.0

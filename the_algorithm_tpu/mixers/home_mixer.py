@@ -221,6 +221,9 @@ def build_for_you_pipeline(
     quality_factor: Optional[QualityFactorConfig] = None,
     query_hydrators: Sequence = (),
     phoenix_scorer=None,
+    phoenix_rescoring_store=None,
+    phoenix_rerank_alpha: float = 0.5,
+    side_effects: Sequence = (),
     stats=None,
 ) -> RecommendationPipeline:
     """Assemble the ScoredTweets pipeline (engine order per
@@ -242,11 +245,24 @@ def build_for_you_pipeline(
     scorers = [scorer]
     if phoenix_scorer is not None:
         scorers.append(phoenix_scorer)
+    hydrators = list(hydrators)
+    effects = list(side_effects)
+    if phoenix_rescoring_store is not None:
+        # the Phoenix loop (PhoenixRescoring hydrator → reranking scorer →
+        # scored-candidates side effect feeding the store + training log)
+        from the_algorithm_tpu.mixers import phoenix_loop as pl
+
+        hydrators.append(
+            pl.PhoenixRescoringFeatureHydrator(phoenix_rescoring_store))
+        scorers.append(
+            pl.PhoenixModelRerankingScorer(alpha=phoenix_rerank_alpha))
+        effects.append(
+            pl.ScoredPhoenixCandidatesSideEffect(phoenix_rescoring_store))
     return RecommendationPipeline(
         query_hydrators=list(query_hydrators),
         candidate_pipelines=list(candidate_pipelines),
         post_candidate_selectors=[DedupSelector()],
-        post_candidate_hydrators=list(hydrators),
+        post_candidate_hydrators=hydrators,
         global_filters=[
             SeenTweetsFilter(),
             MaxAgeFilter(max_tweet_age_s),
@@ -258,6 +274,7 @@ def build_for_you_pipeline(
             _TruncateToQueryMax(),
         ],
         quality_factor=quality_factor,
+        side_effects=effects,
         stats=stats,
     )
 
