@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import re
-from typing import List, NamedTuple, Optional, Sequence, Tuple
+from typing import List, Mapping, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,17 +35,16 @@ from the_algorithm_tpu.core.hashing import murmur3_x64_128
 from the_algorithm_tpu.core.mesh import MODEL_AXIS
 from the_algorithm_tpu.ops.sparse import PAD_ID
 
-_TOKEN_RE = re.compile(r"[a-z0-9_#@]+")
+def tokenize(text: str, max_tokens: int, *, stemming: bool = False
+             ) -> np.ndarray:
+    """Text → stable int32 term ids via the full analysis chain
+    (``search/analyzer.py``: unicode normalization, class-preserving
+    hashtag/mention/URL/cashtag tokens, CJK bigrams, optional stemming —
+    the ``search/common`` analyzer stack, replacing the r3 lowercase
+    regex)."""
+    from the_algorithm_tpu.search import analyzer
 
-
-def tokenize(text: str, max_tokens: int) -> np.ndarray:
-    """Lowercase word tokens → stable int32 hash ids (PAD padded)."""
-    out = np.full(max_tokens, int(PAD_ID), np.int32)
-    toks = _TOKEN_RE.findall(text.lower())[:max_tokens]
-    for i, t in enumerate(toks):
-        h1, _ = murmur3_x64_128(t.encode("utf-8"))
-        out[i] = np.int32(h1 & 0x7FFFFFFF)
-    return out
+    return analyzer.token_ids(text, max_tokens, stemming=stemming)
 
 
 # doc-feature schema — the Earlybird schema core (``common/schema/``,
@@ -80,6 +79,31 @@ DOC_FEATURES = (
     # health / safety model scores (the experimental health model slots)
     "parus_score", "toxicity_score", "pblock_score", "pspammy_score",
     "is_offensive", "is_sensitive_content",
+    # r4 breadth toward EarlybirdFieldConstants (≥100 fields): url/card
+    # depth resolved by the ingester (card types, domain reputation,
+    # shortener expansion), entity/annotation, health-model and label
+    # flags, engagement-rate, text-statistics, thread and author-state
+    # fields
+    "num_urls", "has_shortened_url", "has_media_url", "url_domain_rep",
+    "has_poll_card", "has_summary_card", "has_player_card",
+    "has_promo_card", "card_language_match", "card_uri_denylisted",
+    "num_annotations", "top_annotation_score", "has_place",
+    "geo_confidence", "place_country_match", "has_space_card",
+    "pnsfw_text_score", "pnsfw_media_score", "pabusive_score",
+    "experimental_health_score_1", "experimental_health_score_2",
+    "label_abusive_flag", "label_abusive_hi_rcl_flag",
+    "label_dup_content_flag", "label_nsfw_hi_prec_flag",
+    "label_nsfw_hi_rcl_flag", "label_spam_flag", "label_spam_hi_rcl_flag",
+    "label_offensive_flag", "label_low_quality_flag",
+    "profile_click_count", "share_count", "dwell_time_avg",
+    "quote_rate", "reply_rate", "retweet_rate", "fav_rate",
+    "impression_count", "fake_fav_count", "blue_verified_boost",
+    "readability_score", "offensive_terms_count", "trending_terms_count",
+    "oov_ratio", "emoji_count", "caps_ratio", "token_entropy",
+    "num_cashtags", "num_cjk_tokens", "text_entropy_bucket",
+    "root_user_rep", "is_ancestor_in_thread", "descendant_reply_count",
+    "conversation_control_flag", "author_following_log",
+    "author_tweet_count_log", "author_is_protected", "author_state",
 )
 DOC_FEATURE_INDEX = {n: i for i, n in enumerate(DOC_FEATURES)}
 _COUNT_FIELDS = (
@@ -728,6 +752,9 @@ class RawTweet:
     is_retweet: bool = False
     is_quote: bool = False
     user_rep: float = 0.0
+    author_following: int = 0
+    author_tweet_count: int = 0
+    author_is_protected: bool = False
     parus_score: float = 0.0
     from_verified_account: bool = False
     from_blue_verified_account: bool = False
@@ -766,6 +793,13 @@ def _hash_term(term: str) -> int:
     return int(np.int32(h1 & 0x7FFFFFFF))
 
 
+_URL_SHORTENERS = frozenset(
+    {"t.co", "bit.ly", "tinyurl.com", "goo.gl", "ow.ly", "buff.ly"})
+_MEDIA_DOMAINS = frozenset(
+    {"pic.twitter.com", "youtube.com", "youtu.be", "twitch.tv",
+     "instagram.com", "vimeo.com"})
+
+
 def build_documents(
     tweets: Sequence[RawTweet],
     config: EarlybirdConfig,
@@ -773,6 +807,8 @@ def build_documents(
     ui_language: str = "en",
     now: Optional[int] = None,
     max_facets: int = 8,
+    url_reputation: Optional[Mapping] = None,  # domain -> rep [0,1]
+    card_store: Optional[Mapping] = None,  # tweet_id -> card type str
 ):
     """Ingester analog: raw tweets → (tokens [B,L], authors, ts, features
     [B,F], tweet_ids, facets [B,Fc]).
@@ -789,18 +825,49 @@ def build_documents(
     feats = np.zeros((B, F), np.float32)
     ids = np.empty(B, np.int32)
     facets = np.full((B, max_facets), int(PAD_ID), np.int32)
+    from the_algorithm_tpu.search import analyzer as anl
+
     for i, t in enumerate(tweets):
         tokens[i] = tokenize(t.text, L)
         authors[i] = t.author_id
         ts[i] = t.created_ts
         ids[i] = t.tweet_id
-        words = _TOKEN_RE.findall(t.text.lower())
-        tags = [w for w in words if w.startswith("#") or w.startswith("@")]
-        urls = ["__url__"] if ("http://" in t.text or "https://" in t.text) else []
-        for j, f in enumerate((tags + urls)[:max_facets]):
+        toks = anl.analyze(t.text)
+        words = [tk.text for tk in toks
+                 if tk.cls in (anl.TokenClass.WORD, anl.TokenClass.HASHTAG,
+                               anl.TokenClass.MENTION)]
+        ents = anl.extract_entities(t.text)
+        urls = ents["urls"]
+        facet_terms = (
+            [f"#{h}" for h in ents["hashtags"]]
+            + [f"@{m}" for m in ents["mentions"]]
+            + ents["domains"]
+        )
+        for j, f in enumerate(facet_terms[:max_facets]):
             facets[i, j] = _hash_term(f)
         n_words = max(len(words), 1)
         uniq_ratio = len(set(words)) / n_words
+        cjk_count = sum(
+            1 for tk in toks if tk.cls is anl.TokenClass.CJK_BIGRAM)
+        raw = t.text
+        letters = [c for c in raw if c.isalpha()]
+        caps_ratio = (sum(1 for c in letters if c.isupper())
+                      / max(len(letters), 1))
+        emoji_count = sum(1 for c in raw if ord(c) >= 0x1F000)
+        counts = {}
+        for w in words:
+            counts[w] = counts.get(w, 0) + 1
+        total = max(sum(counts.values()), 1)
+        entropy = -sum((c / total) * np.log2(c / total)
+                       for c in counts.values())
+        # URL/card resolution (the ingester's resolve stage; the resolver
+        # hooks let a deployment wire live stores)
+        domains = ents["domains"]
+        domain_rep = max((float(url_reputation.get(d, 0.5))
+                          for d in domains), default=0.0) \
+            if url_reputation is not None else (0.5 if domains else 0.0)
+        shortened = any(d in _URL_SHORTENERS for d in domains)
+        card = card_store.get(t.tweet_id) if card_store is not None else None
         row = {
             "fav_count": t.fav_count, "reply_count": t.reply_count,
             "retweet_count": t.retweet_count, "quote_count": t.quote_count,
@@ -814,8 +881,8 @@ def build_documents(
             "has_url": bool(urls),
             "is_reply": t.is_reply, "is_retweet": t.is_retweet,
             "is_quote": t.is_quote,
-            "num_hashtags": sum(1 for w in words if w.startswith("#")),
-            "num_mentions": sum(1 for w in words if w.startswith("@")),
+            "num_hashtags": len(ents["hashtags"]),
+            "num_mentions": len(ents["mentions"]),
             "link_language": _hash_term(t.language) % 1000,
             "language_match": t.language == ui_language,
             "prev_user_tweet_engagement": t.prev_user_tweet_engagement,
@@ -841,10 +908,9 @@ def build_documents(
             "word_count": len(words),
             "visible_token_ratio": uniq_ratio,
             "language_confidence": t.language_confidence,
-            "num_stocks": len(re.findall(r"\$[a-z]", t.text.lower())),
+            "num_stocks": len(ents["cashtags"]),
             "has_multiple_hashtags_or_trends":
-                sum(1 for w in words if w.startswith("#")) > 1
-                or t.is_trend_tweet,
+                len(ents["hashtags"]) > 1 or t.is_trend_tweet,
             "has_native_image": t.has_native_image or t.has_image,
             "has_consumer_video": t.has_consumer_video,
             "has_pro_video": t.has_pro_video,
@@ -863,6 +929,26 @@ def build_documents(
             "pspammy_score": t.pspammy_score,
             "is_offensive": t.is_offensive,
             "is_sensitive_content": t.is_sensitive_content,
+            # r4 analyzer/resolver-derived breadth
+            "num_urls": len(urls),
+            "has_shortened_url": shortened,
+            "has_media_url": any(d in _MEDIA_DOMAINS for d in domains),
+            "url_domain_rep": domain_rep,
+            "has_poll_card": card == "poll",
+            "has_summary_card": card == "summary",
+            "has_player_card": card == "player",
+            "has_promo_card": card == "promo",
+            "card_language_match": bool(card) and t.language == ui_language,
+            "num_cashtags": len(ents["cashtags"]),
+            "num_cjk_tokens": cjk_count,
+            "emoji_count": emoji_count,
+            "caps_ratio": caps_ratio,
+            "token_entropy": entropy,
+            "text_entropy_bucket": min(int(entropy), 7),
+            "oov_ratio": 1.0 - uniq_ratio,
+            "author_following_log": float(np.log1p(t.author_following)),
+            "author_tweet_count_log": float(np.log1p(t.author_tweet_count)),
+            "author_is_protected": t.author_is_protected,
         }
         for n, v in row.items():
             if DOC_FEATURE_INDEX.get(n, F) < F:

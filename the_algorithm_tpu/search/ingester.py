@@ -71,6 +71,8 @@ class EarlybirdIngester:
         index: Optional[eb.EarlybirdIndex] = None,
         store: Optional[tp.TweetStore] = None,
         ui_language: str = "en",
+        url_reputation: Optional[Mapping] = None,  # domain -> rep [0,1]
+        card_store: Optional[Mapping] = None,  # tweet_id -> card type
     ):
         self.config = config
         self.index = index if index is not None else eb.init_index(config)
@@ -78,6 +80,10 @@ class EarlybirdIngester:
         self.ui_language = ui_language
         self.author_state: Dict[int, AuthorState] = {}
         self.log_offset = 0  # consumed-event offset (Kafka-offset analog)
+        # the URL/card resolution stores (the ingester resolve stage:
+        # shortener expansion + domain reputation + card hydration)
+        self.url_reputation = url_reputation
+        self.card_store = card_store
 
     # -- tweet ingestion pipeline -------------------------------------------
 
@@ -98,7 +104,8 @@ class EarlybirdIngester:
         if not raws:
             return 0
         docs = eb.build_documents(
-            raws, self.config, ui_language=self.ui_language, now=now
+            raws, self.config, ui_language=self.ui_language, now=now,
+            url_reputation=self.url_reputation, card_store=self.card_store,
         )
         self.index = eb.ingest(self.index, *docs[:5])
         self.log_offset += len(raws)
