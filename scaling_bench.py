@@ -108,15 +108,22 @@ def masknet_train_scaling(
         dt = _time(lambda: step(params, opt_state, x, y), reps=reps)
         mesh_eps[n] = B / dt
 
-        # the SAME total work on ONE device (same host, all cores)
+        # Single-device baseline at the SAME total work W = n·b, taken as
+        # the BETTER of two execution modes: (a) one step of W, (b) n
+        # sequential repeat-batches of the fixed per-step b (the r3
+        # baseline used only (a), whose per-example throughput degrades
+        # with W — the denominator moved and "efficiencies" exceeded 1.0).
         dev = jax.devices()[0]
         params1 = jax.device_put(params0, dev)
         opt1 = jax.device_put(tx.init(params0), dev)
+        step1 = jax.jit(make_step())
         x1 = jax.device_put(x_np, dev)
         y1 = jax.device_put(y_np, dev)
-        step1 = jax.jit(make_step())
-        dt1 = _time(lambda: step1(params1, opt1, x1, y1), reps=reps)
-        single_eps[n] = B / dt1
+        dt_W = _time(lambda: step1(params1, opt1, x1, y1), reps=reps)
+        xb = jax.device_put(x_np[:b_per_device], dev)
+        yb = jax.device_put(y_np[:b_per_device], dev)
+        dt_b = _time(lambda: step1(params1, opt1, xb, yb), reps=reps)
+        single_eps[n] = max(B / dt_W, B / (n * dt_b))
     return mesh_eps, single_eps
 
 
@@ -201,6 +208,60 @@ def sann_query_sharded_scaling(
     return mesh_qps, single_qps
 
 
+def sann_hybrid_scaling(
+    *, c_per_index_shard: int = 8192, m: int = 64, q: int = 64,
+    n_scan: int = 16, x_res: int = 64, reps: int = 12,
+):
+    """Query × index hybrid sharding (r4): for n total devices use
+    (data=n/2, model=2) — the index no longer fits one device (the case
+    that collapsed the pure index-sharded path), but the query axis keeps
+    per-device scan work at Q/(n/2). Efficiency is compute-normalized by
+    the index-shard count m_i (each query's scan replicates m_i×)."""
+    rng = np.random.default_rng(3)
+    out = {}
+    for n in (2, 4, 8):
+        d_q, d_i = n // 2, 2
+        C = c_per_index_shard * d_i
+        ids = rng.integers(0, 1 << 20, (C, m)).astype(np.int32)
+        scores = rng.uniform(0.1, 1.0, (C, m)).astype(np.float32)
+        ts = np.zeros((C, m), np.int32)
+        index = ClusterTweetIndex(
+            jnp.asarray(ids), jnp.asarray(scores), jnp.asarray(ts))
+        q_ids = np.stack([
+            rng.choice(C, n_scan, replace=False) for _ in range(q)
+        ]).astype(np.int32)
+        q_scores = rng.uniform(0.2, 1.0, (q, n_scan)).astype(np.float32)
+        sources = SparseEmbedding(jnp.asarray(q_ids), jnp.asarray(q_scores))
+        cfg = ann.SimClustersANNConfig(
+            max_scan_clusters=n_scan, max_top_tweets_per_cluster=m,
+            max_num_results=x_res, scoring_algorithm=ScoringAlgorithm.COSINE,
+            max_tweet_candidate_age_hours=10**6,
+        )
+        mesh = make_mesh(MeshSpec(data=d_q, model=d_i),
+                         devices=jax.devices()[:n])
+        sh_index = ann.shard_index(mesh, index)
+        fn = jax.jit(lambda idx, s: ann.get_tweet_candidates_hybrid(
+            mesh, idx, s, cfg))
+        dt = _time(lambda: fn(sh_index, sources), reps=reps)
+
+        fn1 = jax.jit(
+            lambda idx, s: ann.get_tweet_candidates_batch(idx, s, cfg))
+        dt1 = _time(lambda: fn1(index, sources), reps=reps)
+        out[n] = {
+            "mesh": (d_q, d_i),
+            "queries_per_s_mesh": round(q / dt, 1),
+            "queries_per_s_single_same_index": round(q / dt1, 1),
+            # shared-core virtual mesh: the d_i-times-replicated scan
+            # SERIALIZES, so normalize by d_i (cf. the index-sharded
+            # path's n-fold normalization — the hybrid's whole point is
+            # that the multiplier stays at d_i ≪ n)
+            "efficiency_compute_normalized": round(min(
+                1.0, d_i * (q / dt) / (q / dt1)), 4),
+            "raw_ratio": round(d_i * (q / dt) / (q / dt1), 4),
+        }
+    return out
+
+
 def dcn_two_process_throughput() -> Optional[float]:
     """Global examples/s for the DP step across TWO OS PROCESSES over the
     loopback DCN analog (jax.distributed; 4 virtual devices each) — the
@@ -245,9 +306,24 @@ def main():
     train_mesh, train_single = masknet_train_scaling(sizes=sizes)
     sann_mesh, sann_single = sann_retrieval_scaling(sizes=sizes)
     qs_mesh, qs_single = sann_query_sharded_scaling(sizes=sizes)
+    hybrid = sann_hybrid_scaling()
 
     def eff(mesh_d, single_d):
-        return {str(n): round(mesh_d[n] / single_d[n], 4) for n in mesh_d}
+        """Headline efficiency min(1, raw) + the raw ratio.
+
+        On the shared-core virtual mesh, n per-device executables can
+        UTILIZE the host's cores better than one single-device program —
+        a raw ratio above 1.0 is that scheduling artifact, not mesh
+        speedup, so the headline clamps at 1.0 and the raw value stays
+        in the artifact for audit."""
+        out = {}
+        for n in mesh_d:
+            raw = mesh_d[n] / single_d[n]
+            out[str(n)] = {
+                "efficiency": round(min(1.0, raw), 4),
+                "raw_ratio": round(raw, 4),
+            }
+        return out
 
     out = {
         "definition": (
@@ -280,8 +356,12 @@ def main():
             # replicated cross-shard merge), which IS what multi-chip wall
             # time pays on top of the per-shard scan.
             "efficiency_compute_normalized": {
-                str(n): round(n * sann_mesh[n] / sann_single[n], 4)
-                for n in sann_mesh},
+                str(n): {
+                    "efficiency": round(min(
+                        1.0, n * sann_mesh[n] / sann_single[n]), 4),
+                    "raw_ratio": round(
+                        n * sann_mesh[n] / sann_single[n], 4),
+                } for n in sann_mesh},
         },
         "sann_query_sharded": {
             # the scaling-book shape: request batch shards over devices,
@@ -293,6 +373,7 @@ def main():
                 str(n): round(v, 1) for n, v in qs_single.items()},
             "efficiency": eff(qs_mesh, qs_single),
         },
+        "sann_hybrid": hybrid,
         "devices": jax.device_count(),
         "platform": jax.default_backend(),
     }
@@ -300,6 +381,16 @@ def main():
     out["dcn_two_process"] = {
         "train_examples_per_s_global": (
             round(dcn_eps, 1) if dcn_eps else None),
+        # the single-process baseline BESIDE the DCN point: the same 8
+        # virtual devices and batch shape in ONE process (train_mesh[8])
+        # — efficiency is computable from the artifact alone
+        "train_examples_per_s_single_process_same_devices": round(
+            train_mesh[8], 1),
+        "efficiency_vs_single_process": (
+            round(min(1.0, dcn_eps / train_mesh[8]), 4)
+            if dcn_eps else None),
+        "raw_ratio_vs_single_process": (
+            round(dcn_eps / train_mesh[8], 4) if dcn_eps else None),
         "processes": 2,
         "devices_per_process": 4,
         "note": ("DP step across two OS processes via jax.distributed over"
@@ -307,7 +398,7 @@ def main():
     }
     print(json.dumps(out, indent=1))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "SCALING_r03.json"), "w") as f:
+                           "SCALING_r04.json"), "w") as f:
         json.dump(out, f, indent=1)
 
 

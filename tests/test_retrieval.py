@@ -205,3 +205,57 @@ class TestExactCosineScan:
                                 jnp.zeros((1, 2))),
                 num_clusters=4, max_results=2, block=4,
             )
+
+
+class TestHybridSharding:
+    """Query × index hybrid SANN: exact parity with the batch path."""
+
+    def test_hybrid_matches_single_device(self):
+        import numpy as np
+
+        from the_algorithm_tpu.core.mesh import MeshSpec, make_mesh
+        from the_algorithm_tpu.simclusters import ann
+
+        rng = np.random.default_rng(5)
+        C, M, Q, N, X = 64, 16, 8, 8, 16
+        ids = rng.integers(0, 1 << 18, (C, M)).astype(np.int32)
+        scores = rng.uniform(0.1, 1.0, (C, M)).astype(np.float32)
+        ts = np.zeros((C, M), np.int32)
+        index = ClusterTweetIndex(
+            jnp.asarray(ids), jnp.asarray(scores), jnp.asarray(ts))
+        q_ids = np.stack([rng.choice(C, N, replace=False)
+                          for _ in range(Q)]).astype(np.int32)
+        q_scores = rng.uniform(0.2, 1.0, (Q, N)).astype(np.float32)
+        sources = SparseEmbedding(jnp.asarray(q_ids), jnp.asarray(q_scores))
+        cfg = ann.SimClustersANNConfig(
+            max_scan_clusters=N, max_top_tweets_per_cluster=M,
+            max_num_results=X, max_tweet_candidate_age_hours=10**6)
+
+        want_ids, want_scores = ann.get_tweet_candidates_batch(
+            index, sources, cfg)
+
+        want_ids_np = np.asarray(want_ids)
+        want_scores_np = np.asarray(want_scores)
+        for (d, m) in ((2, 4), (4, 2), (1, 8), (8, 1)):
+            mesh = make_mesh(MeshSpec(data=d, model=m))
+            sh = ann.shard_index(mesh, index)
+            got_ids, got_scores = ann.get_tweet_candidates_hybrid(
+                mesh, sh, sources, cfg)
+            got_ids_np = np.asarray(got_ids)
+            got_scores_np = np.asarray(got_scores)
+            # cross-shard partial sums change fp accumulation ORDER, so
+            # tied scores may swap; require per-id score parity and full
+            # set overlap up to one boundary swap
+            for qi in range(Q):
+                ws = dict(zip(want_ids_np[qi].tolist(),
+                              want_scores_np[qi].tolist()))
+                gs = dict(zip(got_ids_np[qi].tolist(),
+                              got_scores_np[qi].tolist()))
+                common = set(ws) & set(gs)
+                assert len(common) >= X - 1, (d, m, qi, ws.keys(), gs.keys())
+                for i in common:
+                    assert abs(ws[i] - gs[i]) < 1e-5, (d, m, qi, i)
+                # ranking by score agrees where scores are separated
+                order_ok = sorted(gs.values(), reverse=True)
+                np.testing.assert_allclose(
+                    got_scores_np[qi], order_ok, atol=1e-6)

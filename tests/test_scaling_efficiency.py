@@ -39,3 +39,13 @@ def test_sann_sharded_curve_reports(tmp_path):
     )
     assert mesh_qps[1] > 0 and mesh_qps[8] > 0
     assert single_qps[1] > 0
+
+
+@pytest.mark.slow
+def test_hybrid_sharding_beats_index_sharded_at_8():
+    """r4: the query×index hybrid keeps compute-normalized efficiency
+    ≥0.5 at 8 devices (the pure index-sharded path collapses there)."""
+    out = scaling_bench.sann_hybrid_scaling(
+        c_per_index_shard=2048, m=32, q=32, n_scan=8, x_res=32, reps=4)
+    assert out[8]["efficiency_compute_normalized"] >= 0.5, out[8]
+    assert out[8]["mesh"] == (4, 2)

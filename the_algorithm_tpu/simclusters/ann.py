@@ -330,3 +330,114 @@ def get_tweet_candidates_query_sharded(
         index.tweet_ids, index.scores, index.timestamps,
         src.ids, src.scores, src_l2, src_log,
     )
+
+
+def get_tweet_candidates_hybrid(
+    mesh: Mesh,
+    index: ClusterTweetIndex,  # cluster-row-sharded P('model', None)
+    sources: SparseEmbedding,  # [Q, N]; Q % data_shards == 0
+    config: SimClustersANNConfig,
+    *,
+    now: Optional[jnp.ndarray] = None,
+    partials_per_shard: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Query × index hybrid sharding — the shape that survives BOTH axes
+    growing (index larger than one chip's HBM AND request rate beyond one
+    chip's scan throughput).
+
+    Mesh: queries shard over 'data' (D_q ways), cluster rows over 'model'
+    (D_i ways). Each device scans ITS query slice against ITS index shard
+    (compute-at-owner — no row exchange at all, the accumulate reads local
+    HBM only); per-query partials all-gather over 'model' ONLY (a D_i-wide
+    collective instead of the index-sharded path's full-mesh one), and the
+    exact by-tweet-id re-merge + top-X runs on the query's owner. Per-device
+    scan work drops D_q× versus :func:`get_tweet_candidates_sharded` (whose
+    collapse under scaling was exactly the D-times-replicated query scan),
+    and the partial-merge payload drops D_q× with it. Exact at the default
+    partials cap, like the index-sharded path.
+    """
+    from the_algorithm_tpu.core.mesh import DATA_AXIS
+
+    d_q = mesh.shape[DATA_AXIS]
+    d_i = mesh.shape[MODEL_AXIS]
+    Q = sources.ids.shape[0]
+    if Q % d_q != 0:
+        raise ValueError(f"{Q} queries not divisible by {d_q} data shards")
+    C = index.num_clusters
+    if C % d_i != 0:
+        raise ValueError(f"{C} clusters not divisible by {d_i} index shards")
+    rows_per_shard = C // d_i
+    X = config.max_num_results
+    M = min(config.max_top_tweets_per_cluster, index.tweets_per_cluster)
+    R = partials_per_shard or config.max_scan_clusters * M
+
+    earliest = latest = None
+    if now is not None:
+        earliest = now - config.max_tweet_candidate_age_hours * 3600
+        latest = now - config.min_tweet_candidate_age_hours * 3600
+
+    def local(t_ids, t_scores, t_ts, src_ids, src_scores, src_l2, src_log):
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        offset = shard * rows_per_shard
+        local_index = ClusterTweetIndex(t_ids, t_scores, t_ts)
+
+        def one_query(ids, scores, l2, log):
+            local_cid = ids - offset
+            own = ((ids != PAD_ID) & (local_cid >= 0)
+                   & (local_cid < rows_per_shard))
+            src = SparseEmbedding(
+                jnp.where(own, local_cid, PAD_ID),
+                jnp.where(own, scores, 0.0),
+            )
+            uniq, dot, norm = retrieval.accumulate_candidates(
+                local_index, src,
+                max_top_tweets_per_cluster=config.max_top_tweets_per_cluster,
+                earliest_ts=earliest, latest_ts=latest,
+            )
+            if R >= uniq.shape[0]:
+                return uniq, dot, norm
+            key = jnp.where(uniq != PAD_ID, dot, -jnp.inf)
+            _, idx = jax.lax.top_k(key, R)
+            return uniq[idx], dot[idx], norm[idx]
+
+        uniq, dot, norm = jax.vmap(one_query)(
+            src_ids, src_scores, src_l2, src_log)  # [Q/dq, R]
+        # fan-in across INDEX shards only (the 'model' axis)
+        g_ids = jax.lax.all_gather(uniq, MODEL_AXIS, axis=1, tiled=True)
+        g_dot = jax.lax.all_gather(dot, MODEL_AXIS, axis=1, tiled=True)
+        g_norm = jax.lax.all_gather(norm, MODEL_AXIS, axis=1, tiled=True)
+
+        def merge_query(ids, dots, norms, l2, log):
+            uniq2, dot2, norm2 = retrieval._dedup_sum(ids, dots, norms)
+            score = retrieval.normalize_scores(
+                dot2, norm2, l2, log, config.scoring_algorithm)
+            is_real = uniq2 != PAD_ID
+            score = jnp.where(
+                is_real & (score >= config.min_score), score, -jnp.inf)
+            ts, ti = jax.lax.top_k(score, X)
+            return jnp.where(jnp.isfinite(ts), uniq2[ti], PAD_ID), ts
+
+        return jax.vmap(merge_query)(g_ids, g_dot, g_norm, src_l2, src_log)
+
+    src = SparseEmbedding(
+        sources.ids[:, : config.max_scan_clusters],
+        sources.scores[:, : config.max_scan_clusters],
+    )
+    src_l2 = jax.vmap(sparse.l2_norm)(src)
+    src_log = jax.vmap(sparse.log_norm)(src)
+    from the_algorithm_tpu.core.mesh import DATA_AXIS as DA
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(MODEL_AXIS, None), P(MODEL_AXIS, None), P(MODEL_AXIS, None),
+            P(DA, None), P(DA, None), P(DA), P(DA),
+        ),
+        out_specs=(P(DA, None), P(DA, None)),
+        check_vma=False,  # model-axis all_gather replicates over 'model'
+    )
+    return fn(
+        index.tweet_ids, index.scores, index.timestamps,
+        src.ids, src.scores, src_l2, src_log,
+    )
