@@ -252,20 +252,23 @@ def bench_training():
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
 
-    # training MFU sweep on v5e: 0.52 @ 4k, 0.61 @ 8k (peak), 0.605 @ 16k,
-    # 0.572 @ 32k, bf16 inputs 0.589 — the backward's activation re-reads
-    # are bandwidth-bound past 8k; 0.61 is this model's ceiling without
-    # remat/fusion changes to the bwd
-    B = 8192
+    # r4 operating point from the MFU_NOTES.md sweep: bf16 inputs +
+    # donated state at B=16384 (0.623 vs the r3 0.609 at f32/8k). The step
+    # is COMPUTE-bound by XLA's own cost analysis (AI 281 > ridge 240);
+    # remat hurt (-25% examples/s) and the residual gap is the
+    # weights-as-arguments layout penalty — see MFU_NOTES.md.
+    B = 16384
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(B, cfg.num_features)).astype(np.float32))
+    x = jnp.asarray(
+        rng.normal(size=(B, cfg.num_features)).astype(np.float32)
+    ).astype(jnp.bfloat16)
     y = jnp.asarray(
         (rng.random((B, cfg.num_heads)) < 0.05).astype(np.float32)
     )
 
     # batch passed as ARGUMENTS — closed-over device arrays embed as HLO
     # constants and blow the remote-compile payload limit (see exact_topk)
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state, x, y):
         params, opt_state = state
         loss, grads = jax.value_and_grad(
