@@ -187,3 +187,112 @@ class TestTweetStore:
         assert h.counts["fav_count"] == 3
         amap = s.author_map()
         assert amap[1] == 10 and len(amap) == 3
+
+
+class TestWritePath:
+    """Tweetypie write pipeline (r4): create/delete/undelete/edit with
+    chain-scoped lifetime and takedown integrity + async fanout."""
+
+    def _svc(self):
+        from the_algorithm_tpu.storage import tweetypie as tp
+
+        return tp.TweetWriteService(), tp
+
+    def test_post_assigns_time_ordered_ids_and_conversation(self):
+        svc, tp = self._svc()
+        a = svc.post_tweet(1, "root tweet", now=100)
+        b = svc.post_tweet(2, "reply", now=101, reply_to=a.tweet_id)
+        c = svc.post_tweet(3, "deeper", now=102, reply_to=b.tweet_id)
+        assert a.tweet_id < b.tweet_id < c.tweet_id
+        assert a.conversation_id == a.tweet_id
+        assert b.conversation_id == a.tweet_id
+        assert c.conversation_id == a.tweet_id
+        # same-timestamp posts stay unique and ordered
+        d = svc.post_tweet(1, "x", now=200)
+        e = svc.post_tweet(1, "y", now=200)
+        assert d.tweet_id < e.tweet_id
+
+    def test_post_validation(self):
+        svc, tp = self._svc()
+        with pytest.raises(tp.WriteError):
+            svc.post_tweet(1, "   ", now=100)
+        with pytest.raises(tp.WriteError):
+            svc.post_tweet(1, "reply to ghost", now=100, reply_to=999)
+        t = svc.post_tweet(1, "ok", now=100)
+        svc.delete_tweet(t.tweet_id)
+        with pytest.raises(tp.WriteError):
+            svc.post_tweet(2, "reply to deleted", now=101,
+                           reply_to=t.tweet_id)
+
+    def test_edit_chain_integrity(self):
+        svc, tp = self._svc()
+        t = svc.post_tweet(1, "v0", now=100)
+        v1 = svc.edit_tweet(t.tweet_id, "v1", now=200)
+        v2 = svc.edit_tweet(t.tweet_id, "v2", now=300)
+        assert svc.edits.latest(t.tweet_id) == v2.tweet_id
+        assert svc.edits.versions(v1.tweet_id) == [
+            t.tweet_id, v1.tweet_id, v2.tweet_id]
+        assert svc.edits.is_stale(t.tweet_id)
+        assert not svc.edits.is_stale(v2.tweet_id)
+        # edit window enforced from the INITIAL version's timestamp
+        with pytest.raises(tp.WriteError):
+            svc.edit_tweet(v2.tweet_id, "too late", now=100 + 3601)
+
+    def test_delete_and_undelete_cascade_over_chain(self):
+        svc, tp = self._svc()
+        t = svc.post_tweet(1, "v0", now=100)
+        v1 = svc.edit_tweet(t.tweet_id, "v1", now=200)
+        deleted = svc.delete_tweet(t.tweet_id)  # deleting ANY version
+        assert set(deleted) == {t.tweet_id, v1.tweet_id}
+        got = svc.store.get_tweets([t.tweet_id, v1.tweet_id])
+        assert not got[0].found and not got[1].found
+        # deleted chains are not editable
+        with pytest.raises(tp.WriteError):
+            svc.edit_tweet(v1.tweet_id, "zombie", now=300)
+        restored = svc.undelete_tweet(v1.tweet_id)
+        assert set(restored) == {t.tweet_id, v1.tweet_id}
+        assert svc.store.get_tweets([v1.tweet_id])[0].found
+
+    def test_takedown_covers_whole_chain_and_new_versions(self):
+        svc, tp = self._svc()
+        t = svc.post_tweet(1, "v0", now=100)
+        v1 = svc.edit_tweet(t.tweet_id, "v1", now=200)
+        svc.takedown(t.tweet_id, ["de"])
+        # every existing version withheld
+        assert svc.takedowns.is_withheld(t.tweet_id, "DE")
+        assert svc.takedowns.is_withheld(v1.tweet_id, "DE")
+        # a FUTURE edit cannot escape the takedown
+        v2 = svc.edit_tweet(v1.tweet_id, "v2", now=300)
+        assert svc.takedowns.is_withheld(v2.tweet_id, "DE")
+        assert not svc.takedowns.is_withheld(v2.tweet_id, "US")
+
+    def test_fanout_hooks_fire_and_fail_open(self):
+        svc, tp = self._svc()
+        events = []
+        svc.on("create", lambda ev: events.append(("create", ev.tweet.text)))
+        svc.on("create", lambda ev: 1 / 0)  # broken consumer never fails writes
+        svc.on("delete", lambda ev: events.append(("delete",
+                                                   ev.tweet.tweet_id)))
+        t = svc.post_tweet(1, "hello", now=100)
+        svc.delete_tweet(t.tweet_id)
+        assert events == [("create", "hello"), ("delete", t.tweet_id)]
+
+    def test_ingester_fanout_bridges_to_search(self):
+        import numpy as np
+
+        from the_algorithm_tpu.search import earlybird as eb
+        from the_algorithm_tpu.search.ingester import EarlybirdIngester
+        from the_algorithm_tpu.storage import tweetypie as tp
+
+        svc = tp.TweetWriteService()
+        ing = EarlybirdIngester(
+            eb.EarlybirdConfig(capacity=16, max_tokens=8), store=svc.store)
+        tp.ingester_fanout(svc, ing)
+        t = svc.post_tweet(1, "the #write path indexes live", now=100)
+        ids = np.asarray(ing.index.tweet_ids)
+        assert t.tweet_id in ids.tolist()
+        svc.delete_tweet(t.tweet_id)
+        # tombstoned: the doc's author slot cleared so it stops matching
+        row = ids.tolist().index(t.tweet_id)
+        assert np.asarray(ing.index.author)[row] == int(
+            np.iinfo(np.int32).max)

@@ -44,6 +44,7 @@ class Tweet:
     quote_count: int = 0
     safety_labels: Set[str] = dataclasses.field(default_factory=set)
     deleted: bool = False
+    conversation_id: Optional[int] = None  # assigned on the write path
 
 
 @dataclasses.dataclass
@@ -353,3 +354,207 @@ def to_raw_tweet(store: TweetStore, tweet: Tweet, *, now: int = 0,
         conversation_depth=depth,
         is_self_thread=self_thread,
     )
+
+
+# -- the write path (PostTweet / DeleteTweet / UndeleteTweet / EditTweet) --------
+
+
+class WriteError(ValueError):
+    """≡ the write path's TweetCreateFailure states."""
+
+
+@dataclasses.dataclass(frozen=True)
+class WriteEvent:
+    """One async-fanout event (≡ tweetypie's async_insert/async_delete
+    events consumed by the ingester, timelines, and cache layers)."""
+
+    kind: str  # "create" | "delete" | "undelete" | "edit"
+    tweet: "Tweet"
+    edit_of: Optional[int] = None
+
+
+class TweetWriteService:
+    """The full write pipeline ≡ ``tweetypie/server/.../handler/
+    {PostTweet,DeleteTweet,UndeleteTweet,EditTweet}Handler.scala`` +
+    ``hydrator/TweetHydration.scala``'s write-side enrichment:
+
+    id assignment (snowflake-style time-ordered), validation, entity
+    extraction, conversation-id resolution, edit-chain maintenance with
+    CHAIN-scoped delete/undelete/takedown semantics (every version of an
+    edited tweet shares lifetime and withholding), and async fanout hooks
+    (the event bus the search ingester / timelines / caches consume).
+    """
+
+    MAX_TEXT_LEN = 4000
+    EDIT_WINDOW_S = 3600  # the reference's edit window
+    MAX_EDITS = 5
+
+    def __init__(
+        self,
+        store: Optional[TweetStore] = None,
+        edits: Optional[EditChainStore] = None,
+        takedowns: Optional[TakedownStore] = None,
+        cache: Optional[CachingTweetStore] = None,
+    ):
+        self.store = store if store is not None else TweetStore()
+        self.edits = edits if edits is not None else EditChainStore()
+        self.takedowns = takedowns if takedowns is not None else TakedownStore()
+        self.cache = cache
+        self.resolver = ConversationResolver(self.store)
+        self._hooks: Dict[str, List] = {
+            "create": [], "delete": [], "undelete": [], "edit": []}
+        self._seq = 0
+        self._last_ts = -1
+        self._lock = threading.Lock()
+
+    # -- id assignment (snowflake analog: time-ordered, unique) -------------
+
+    def next_id(self, now: int) -> int:
+        with self._lock:
+            if now == self._last_ts:
+                self._seq += 1
+            else:
+                self._last_ts, self._seq = now, 0
+            return (int(now) << 12) | self._seq
+
+    # -- fanout hooks --------------------------------------------------------
+
+    def on(self, kind: str, hook) -> None:
+        """Register an async-fanout consumer: hook(WriteEvent)."""
+        self._hooks[kind].append(hook)
+
+    def _fanout(self, event: WriteEvent) -> None:
+        if self.cache is not None:
+            self.cache.invalidate(event.tweet.tweet_id)
+        for hook in self._hooks[event.kind]:
+            try:
+                hook(event)  # fire-and-forget (errors never fail the write)
+            except Exception:
+                pass
+
+    # -- create --------------------------------------------------------------
+
+    def post_tweet(
+        self,
+        author_id: int,
+        text: str,
+        *,
+        now: int,
+        reply_to: Optional[int] = None,
+        quoted_tweet_id: Optional[int] = None,
+        media: Sequence[str] = (),
+    ) -> Tweet:
+        if not text.strip():
+            raise WriteError("empty text")
+        if len(text) > self.MAX_TEXT_LEN:
+            raise WriteError("text too long")
+        for ref, name in ((reply_to, "reply_to"),
+                          (quoted_tweet_id, "quoted_tweet_id")):
+            if ref is not None:
+                parent = self.store._tweets.get(ref)
+                if parent is None or parent.deleted:
+                    raise WriteError(f"{name} {ref} not found")
+        t = Tweet(
+            tweet_id=self.next_id(now), author_id=int(author_id),
+            text=text, created_ts=int(now), reply_to=reply_to,
+            quoted_tweet_id=quoted_tweet_id, media=tuple(media),
+        )
+        # write-side enrichment: conversation id (the root of the reply
+        # chain — a root tweet starts its own conversation)
+        self.store.create(t)
+        root, _, _ = self.resolver.resolve(t)
+        t.conversation_id = root
+        self._fanout(WriteEvent("create", t))
+        return t
+
+    # -- delete / undelete (CHAIN-scoped) ------------------------------------
+
+    def _chain_ids(self, tweet_id: int) -> List[int]:
+        return self.edits.versions(tweet_id)
+
+    def delete_tweet(self, tweet_id: int) -> List[int]:
+        """Soft-delete the tweet AND every version of its edit chain
+        (versions share lifetime). Returns the deleted ids."""
+        deleted = []
+        for vid in self._chain_ids(tweet_id):
+            if self.store.delete(vid):
+                deleted.append(vid)
+                t = self.store._tweets[vid]
+                self._fanout(WriteEvent("delete", t))
+        if not deleted:
+            raise WriteError(f"tweet {tweet_id} not found")
+        return deleted
+
+    def undelete_tweet(self, tweet_id: int) -> List[int]:
+        """Restore the full edit chain (the UndeleteTweet handler)."""
+        restored = []
+        for vid in self._chain_ids(tweet_id):
+            t = self.store._tweets.get(vid)
+            if t is not None and t.deleted:
+                t.deleted = False
+                restored.append(vid)
+                self._fanout(WriteEvent("undelete", t))
+        if not restored:
+            raise WriteError(f"tweet {tweet_id} not deleted")
+        return restored
+
+    # -- edit -----------------------------------------------------------------
+
+    def edit_tweet(self, tweet_id: int, new_text: str, *, now: int) -> Tweet:
+        """A NEW version tweet joins the edit chain; the old version
+        becomes stale (editControl semantics)."""
+        orig = self.store._tweets.get(self.edits.latest(tweet_id))
+        if orig is None or orig.deleted:
+            raise WriteError(f"tweet {tweet_id} not editable (missing)")
+        initial_id = self.edits.versions(tweet_id)[0]
+        initial = self.store._tweets.get(initial_id)
+        if initial is None:
+            raise WriteError("edit chain root missing")
+        if now - initial.created_ts > self.EDIT_WINDOW_S:
+            raise WriteError("edit window elapsed")
+        if len(self.edits.versions(tweet_id)) > self.MAX_EDITS:
+            raise WriteError("edit limit reached")
+        if not new_text.strip():
+            raise WriteError("empty text")
+        v = Tweet(
+            tweet_id=self.next_id(now), author_id=orig.author_id,
+            text=new_text, created_ts=orig.created_ts,
+            reply_to=orig.reply_to, quoted_tweet_id=orig.quoted_tweet_id,
+            media=tuple(orig.media),
+            conversation_id=orig.conversation_id,
+        )
+        self.store.create(v)
+        self.edits.record_edit(initial_id, v.tweet_id)
+        # takedowns are chain-scoped: a new version inherits withholdings
+        for c in self.takedowns.countries(initial_id):
+            self.takedowns.withhold(v.tweet_id, [c])
+        self._fanout(WriteEvent("edit", v, edit_of=orig.tweet_id))
+        return v
+
+    # -- takedowns (chain-scoped) --------------------------------------------
+
+    def takedown(self, tweet_id: int, countries: Sequence[str]) -> None:
+        """Withhold EVERY version of the edit chain in the countries —
+        editing a tweet must never escape a takedown."""
+        for vid in self._chain_ids(tweet_id):
+            self.takedowns.withhold(vid, countries)
+
+
+def ingester_fanout(write_service: "TweetWriteService", ingester) -> None:
+    """Wire the write path's async events into the earlybird ingester —
+    the tweetypie→search event bridge (create/edit index; delete
+    tombstones; undelete re-ingests)."""
+
+    def on_create(ev: WriteEvent):
+        ingester.ingest_tweets(
+            [to_raw_tweet(write_service.store, ev.tweet,
+                          now=ev.tweet.created_ts)],
+            now=ev.tweet.created_ts)
+
+    def on_delete(ev: WriteEvent):
+        ingester.delete_tweets([ev.tweet.tweet_id])
+
+    write_service.on("create", on_create)
+    write_service.on("edit", on_create)
+    write_service.on("undelete", on_create)
+    write_service.on("delete", on_delete)
