@@ -82,3 +82,64 @@ def test_short_index_pads_with_minus_one():
     got, d = hnsw.query(np.zeros((1, 8), np.float32), 3)
     assert got[0, 0] == 7 and (got[0, 1:] == -1).all()
     assert np.isinf(d[0, 1:]).all()
+
+
+class TestConcurrentBuild:
+    """r4: lock-striped concurrent inserts + wait-free searches
+    (≡ HnswIndex.java:153-226 per-item striping + volatile entry point)."""
+
+    def test_parallel_insert_recall_and_search_during_build(self):
+        import threading
+
+        from the_algorithm_tpu.ann_lib.index import Metric
+        from the_algorithm_tpu.ann_lib.hnsw import HnswIndex
+
+        rng = np.random.default_rng(0)
+        N, D, THREADS = 4000, 16, 8
+        data = rng.normal(size=(N, D)).astype(np.float32)
+        idx = HnswIndex(dim=D, metric=Metric.L2, m=12, ef_construction=80)
+
+        errors = []
+
+        def insert_range(lo, hi):
+            try:
+                idx.append(np.arange(lo, hi), data[lo:hi])
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        def search_while_building(stop):
+            try:
+                while not stop.is_set():
+                    if len(idx) > 0:
+                        idx.query(data[0], 5, ef=40)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        stop = threading.Event()
+        searcher = threading.Thread(target=search_while_building,
+                                    args=(stop,))
+        searcher.start()
+        chunk = N // THREADS
+        threads = [threading.Thread(target=insert_range,
+                                    args=(i * chunk, (i + 1) * chunk))
+                   for i in range(THREADS)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        stop.set()
+        searcher.join()
+        assert not errors, errors
+        assert len(idx) == N
+
+        # the concurrently built graph must search well: recall@10 vs
+        # brute force on held-out queries
+        queries = rng.normal(size=(50, D)).astype(np.float32)
+        hits = total = 0
+        for q in queries:
+            d2 = np.sum((data - q) ** 2, axis=1)
+            want = set(np.argsort(d2)[:10].tolist())
+            ids_out, _ = idx.query(q, 10, ef=128)
+            hits += len(want & set(int(i) for i in ids_out[0]))
+            total += 10
+        assert hits / total >= 0.9, hits / total
