@@ -221,3 +221,81 @@ class TestTimelineProductEndpoint:
             assert ei.value.code == 404
         finally:
             srv.close()
+
+
+class TestBatchedTimelineFront:
+    """r4: the batched product engine behind the HTTP timeline edge —
+    concurrent requests coalesce into ONE serve batch and each gets its
+    own URT timeline."""
+
+    def test_http_requests_coalesce_through_batched_engine(self, tmp_path):
+        import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
+
+        import numpy as np
+
+        from the_algorithm_tpu.mixers import batched_foryou as bf
+        from the_algorithm_tpu.mixers.home_products import (
+            HomeProductPipelineRegistry,
+        )
+        from the_algorithm_tpu.serving.batcher import BatcherConfig
+        from the_algorithm_tpu.serving.product_front import (
+            BatchedTimelineFront,
+        )
+
+        batch_sizes = []
+
+        class Engine:
+            """serve_batch-shaped stub recording coalesced batch sizes."""
+
+            def serve_batch(self, queries, params=None):
+                batch_sizes.append(len(queries))
+                out = []
+                for q in queries:
+                    u = int(q.user_id)
+                    out.append([
+                        bf.Candidate(id=1000 * u + i, score=1.0 - 0.1 * i,
+                                     features={"author_id": i})
+                        for i in range(3)
+                    ])
+                return out
+
+        front = BatchedTimelineFront(
+            Engine(), BatcherConfig(max_batch_size=8, max_delay_ms=60.0))
+        products = HomeProductPipelineRegistry()
+        products.register("for_you", front)
+
+        class Query:
+            def __init__(self, payload):
+                self.user_id = payload.get("user_id", 0)
+                self.features = {}
+
+        reg = ModelRegistry(str(tmp_path))
+        srv = InferenceServer(
+            reg, lambda h: (lambda x: x),
+            products=products,
+            query_builder=lambda product, payload: Query(payload),
+        )
+        srv.start()
+        try:
+            def call(u):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{srv.port}/v1/timelines/for_you",
+                    data=json.dumps({"user_id": u}).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                with urllib.request.urlopen(req, timeout=20) as r:
+                    return json.loads(r.read())
+
+            with ThreadPoolExecutor(max_workers=6) as ex:
+                bodies = list(ex.map(call, range(6)))
+            for u, body in enumerate(bodies):
+                entries = body["timeline"]["instructions"][0][
+                    "addEntries"]["entries"]
+                ids = [e["content"]["item"]["id"] for e in entries
+                       if e["content"]["kind"] == "item"]
+                assert ids[0] == 1000 * u  # each caller got ITS timeline
+            assert max(batch_sizes) > 1  # coalescing actually happened
+        finally:
+            srv.close()
+            front.close()
