@@ -266,3 +266,94 @@ class TestGfsSharded:
         row0 = [x for x in sharded[0, 0, 0] if x != int(PAD_ID)]
         row1 = [x for x in sharded[1, 0, 0] if x != int(PAD_ID)]
         assert row0 == [2, 8] and row1 == [1, 7]  # bucket = id % 2, sorted
+
+
+class TestSetSemanticsMetrics:
+    """latest / last_reset metrics (r4): replace-semantics with a batched
+    winner-per-(row,label) scatter, no decay, dict oracle."""
+
+    def _group(self):
+        from the_algorithm_tpu.features import aggregation as agg
+
+        return agg.AggregateGroup(
+            name="g", features=("v",), labels=("fav", "reply"),
+            metrics=("sum", "latest", "last_reset"),
+            half_lives_s=(86400.0,),
+        )
+
+    def test_latest_and_last_reset_match_oracle(self):
+        import numpy as np
+
+        from the_algorithm_tpu.features import aggregation as agg
+
+        g = self._group()
+        store = agg.init_store(g, capacity=4)
+        rng = np.random.default_rng(0)
+        oracle = {}  # (row, label, metric) -> value
+
+        for batch in range(4):
+            B = 8
+            rows = rng.integers(0, 4, B).astype(np.int32)
+            fv = rng.uniform(-2, 2, (B, 1)).astype(np.float32)
+            lv = (rng.random((B, 2)) < 0.6).astype(np.float32)
+            ts = np.full(B, 1000 * (batch + 1), np.int32)
+            store = agg.update(
+                g, store, jnp.asarray(rows), jnp.asarray(fv),
+                jnp.asarray(lv), jnp.asarray(ts))
+            for i in range(B):  # event order defines "latest"
+                for li in range(2):
+                    if lv[i, li]:
+                        oracle[(int(rows[i]), li, "latest")] = float(fv[i, 0])
+                        oracle[(int(rows[i]), li, "last_reset")] = float(
+                            ts[i])
+
+        col = agg._layout(g)
+        vals = np.asarray(agg.read(
+            g, store, jnp.arange(4, dtype=jnp.int32), jnp.int32(9000)))
+        for row in range(4):
+            for li in range(2):
+                want_latest = oracle.get((row, li, "latest"), 0.0)
+                want_reset = oracle.get((row, li, "last_reset"), 0.0)
+                np.testing.assert_allclose(
+                    vals[row, col(0, li, 1, 0)], want_latest, atol=1e-5,
+                    err_msg=f"latest row={row} label={li}")
+                np.testing.assert_allclose(
+                    vals[row, col(0, li, 2, 0)], want_reset, atol=1e-5,
+                    err_msg=f"last_reset row={row} label={li}")
+
+    def test_latest_is_undecayed_but_sum_decays(self):
+        import numpy as np
+
+        from the_algorithm_tpu.features import aggregation as agg
+
+        g = self._group()
+        store = agg.init_store(g, capacity=2)
+        store = agg.update(
+            g, store, jnp.asarray([0], jnp.int32),
+            jnp.asarray([[3.0]], jnp.float32),
+            jnp.asarray([[1.0, 0.0]], jnp.float32),
+            jnp.asarray([0], jnp.int32))
+        col = agg._layout(g)
+        # read one half-life later: sum halves, latest holds
+        vals = np.asarray(agg.read(
+            g, store, jnp.asarray([0], jnp.int32), jnp.int32(86400)))
+        np.testing.assert_allclose(vals[0, col(0, 0, 0, 0)], 1.5, atol=1e-5)
+        np.testing.assert_allclose(vals[0, col(0, 0, 1, 0)], 3.0, atol=1e-5)
+
+    def test_smaller_new_latest_replaces(self):
+        import numpy as np
+
+        from the_algorithm_tpu.features import aggregation as agg
+
+        g = self._group()
+        store = agg.init_store(g, capacity=2)
+        for v, ts in ((5.0, 100), (2.0, 200)):  # latest DECREASES
+            store = agg.update(
+                g, store, jnp.asarray([0], jnp.int32),
+                jnp.asarray([[v]], jnp.float32),
+                jnp.asarray([[1.0, 0.0]], jnp.float32),
+                jnp.asarray([ts], jnp.int32))
+        col = agg._layout(g)
+        vals = np.asarray(agg.read(
+            g, store, jnp.asarray([0], jnp.int32), jnp.int32(200)))
+        np.testing.assert_allclose(vals[0, col(0, 0, 1, 0)], 2.0, atol=1e-5)

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-METRICS = ("count", "sum", "sumsq", "max")
+METRICS = ("count", "sum", "sumsq", "max", "latest", "last_reset")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -110,27 +110,38 @@ def update(
     for metric in group.metrics:
         if metric == "count":
             base_cols.append(jnp.ones_like(feature_values))
-        elif metric == "sum":
+        elif metric in ("sum", "max", "latest"):
             base_cols.append(feature_values)
         elif metric == "sumsq":
             base_cols.append(feature_values * feature_values)
-        elif metric == "max":
-            base_cols.append(feature_values)
+        elif metric == "last_reset":
+            # value := the event timestamp (≡ LastResetMetric: when the
+            # label last fired)
+            base_cols.append(
+                jnp.broadcast_to(
+                    timestamps.astype(jnp.float32)[:, None],
+                    feature_values.shape))
         else:
-            # LatestMetric/LastResetMetric need set-semantics that
-            # conflict with batched scatter; not yet supported
             raise ValueError(f"unsupported metric {metric}")
     base = jnp.stack(base_cols, axis=-1)  # [B, F, M]
     gated = jnp.einsum("bfm,bl->bflm", base, label_values)  # [B, F, L, M]
     contrib = jnp.broadcast_to(
         gated[..., None], (B, F, L, M, H)
     ).reshape(B, group.n_outputs)
-    is_max_m = np.asarray([m == "max" for m in group.metrics])
-    is_max = jnp.asarray(
-        np.broadcast_to(
-            is_max_m[None, None, :, None], (F, L, M, H)
-        ).reshape(group.n_outputs)
-    )
+    def metric_mask(pred):
+        flags = np.asarray([pred(m) for m in group.metrics])
+        return jnp.asarray(
+            np.broadcast_to(
+                flags[None, None, :, None], (F, L, M, H)
+            ).reshape(group.n_outputs)
+        )
+
+    is_max = metric_mask(lambda m: m == "max")
+    # set-semantics metrics (LatestMetric / LastResetMetric): the batch
+    # winner per (row, label) is the LAST qualifying event — found with a
+    # scatter-max of batch position, then only the winner's contribution
+    # lands (a batched analog of the reference's per-event set)
+    is_set = metric_mask(lambda m: m in ("latest", "last_reset"))
 
     # decay touched rows to `now` per half-life column
     hl_cols = jnp.asarray(
@@ -146,14 +157,42 @@ def update(
     dt = (now - store.last_ts[row_ids]).astype(jnp.float32)  # [B]
     decay = jnp.exp2(-dt[:, None] / hl_cols[None, :])  # [B, n_outputs]
 
+    # set-semantics metrics don't decay: undo the decay on their columns
+    decay = jnp.where(is_set[None, :], 1.0, decay)
     old_rows = store.values[row_ids] * decay
     # additive metrics scatter-add; max metrics scatter-max
-    add_contrib = jnp.where(is_max[None, :], 0.0, contrib)
+    add_contrib = jnp.where(is_max[None, :] | is_set[None, :], 0.0, contrib)
     max_contrib = jnp.where(is_max[None, :], contrib, -jnp.inf)
 
     values = store.values.at[row_ids].set(old_rows)
     values = values.at[row_ids].add(add_contrib)
     values = values.at[row_ids].max(max_contrib)
+
+    if bool(np.any(np.asarray([m in ("latest", "last_reset")
+                               for m in group.metrics]))):
+        # winner position per (row, label): the last event in the batch
+        # whose label fired for that row
+        pos = jnp.arange(B, dtype=jnp.int32)  # event order within batch
+        fired = label_values > 0  # [B, L]
+        pos_gated = jnp.where(fired, pos[:, None], -1)  # [B, L]
+        cap = store.values.shape[0]
+        winner = jnp.full((cap, L), -1, jnp.int32).at[row_ids].max(
+            pos_gated)  # [cap, L]
+        is_winner = (pos_gated >= 0) & (
+            pos_gated == winner[row_ids])  # [B, L]
+        win_mask = jnp.broadcast_to(
+            is_winner[:, None, :, None, None], (B, F, L, M, H)
+        ).reshape(B, group.n_outputs) & is_set[None, :]
+        fired_mask = jnp.broadcast_to(
+            fired[:, None, :, None, None], (B, F, L, M, H)
+        ).reshape(B, group.n_outputs) & is_set[None, :]
+        # REPLACE semantics as clear-then-max: first drive the fired
+        # (row, label) set-columns to -inf (a smaller new latest must
+        # still win), then max in exactly the winner's value
+        values = values.at[row_ids].min(
+            jnp.where(fired_mask, -jnp.inf, jnp.inf))
+        values = values.at[row_ids].max(
+            jnp.where(win_mask, contrib, -jnp.inf))
     last_ts = store.last_ts.at[row_ids].set(now.astype(jnp.int32))
     return AggregateStore(values, last_ts)
 
@@ -179,6 +218,15 @@ def read(
     )
     dt = (now - store.last_ts[row_ids]).astype(jnp.float32)
     decay = jnp.exp2(-dt[:, None] / hl_cols[None, :])
+    M = len(group.metrics)
+    set_m = np.asarray([m in ("latest", "last_reset")
+                        for m in group.metrics])
+    if set_m.any():  # set-semantics columns read undecayed
+        H = len(group.half_lives_s)
+        is_set = jnp.asarray(np.broadcast_to(
+            set_m[None, None, :, None], (F, L, M, H)
+        ).reshape(group.n_outputs))
+        decay = jnp.where(is_set[None, :], 1.0, decay)
     return store.values[row_ids] * decay
 
 
