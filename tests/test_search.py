@@ -123,3 +123,41 @@ class TestSearch:
         assert a[0] == b[0] and a[1] == b[1]
         assert a[2] == int(PAD_ID)
         assert (b != int(PAD_ID)).all()
+
+
+class TestInNetworkBatch:
+    """search_in_network_batch ≡ per-user search() with followed_authors
+    (the r4 batched product leg): corpus scoring hoisted out of the
+    per-user vmap must not change results."""
+
+    def test_matches_per_user_search(self):
+        rng = np.random.default_rng(4)
+        T, A, R, FW, K = 256, 32, 6, 8, 12
+        toks = np.full((T, 4), int(PAD_ID), np.int32)
+        toks[:, 0] = 7
+        authors = (np.arange(T) % A).astype(np.int32)
+        ts = (1000 + rng.integers(0, 500, T)).astype(np.int32)
+        feats = rng.random((T, len(eb.DOC_FEATURES))).astype(np.float32)
+        tids = (5000 + np.arange(T)).astype(np.int32)
+        idx = eb.EarlybirdIndex(
+            jnp.asarray(toks), jnp.asarray(authors), jnp.asarray(ts),
+            jnp.asarray(feats), jnp.asarray(tids), jnp.int32(T))
+        q = eb.SearchQuery(
+            tokens=jnp.full((1,), int(PAD_ID), jnp.int32),
+            require_all=True, min_ts=jnp.int32(0), max_ts=jnp.int32(2000))
+        follows = np.full((R, FW), int(PAD_ID), np.int32)
+        for r in range(R):
+            n = int(rng.integers(2, FW))
+            follows[r, :n] = np.sort(rng.choice(A, n, replace=False))
+
+        got_ids, got_scores = eb.search_in_network_batch(
+            idx, q, jnp.asarray(follows), max_results=K,
+            approx_top_k=False)
+        for r in range(R):
+            qr = q._replace(followed_authors=jnp.asarray(follows[r]))
+            want_ids, want_scores = eb.search(idx, qr, max_results=K)
+            np.testing.assert_array_equal(
+                np.asarray(got_ids)[r], np.asarray(want_ids), err_msg=str(r))
+            np.testing.assert_allclose(
+                np.asarray(got_scores)[r], np.asarray(want_scores),
+                atol=1e-5, err_msg=str(r))
