@@ -667,15 +667,21 @@ def batch_requests(reqs: Sequence[DeviceRequests]) -> DeviceRequests:
 _N_LIFT = len(fs.CONTEXT_FEATURES)
 
 
-def pack_requests(req: DeviceRequests) -> np.ndarray:
+def pack_requests(req: DeviceRequests,
+                  compact_rows: bool = False) -> np.ndarray:
     """DeviceRequests → ONE int32 [R, PB, W] transfer buffer.
 
     On a tunneled accelerator every host→device array pays a fixed
     round-trip (~24 ms here), so 13 small leaves cost ~10× more in RTTs
-    than in bytes. Layout: cand int32 columns ‖ bitcast(f32 lift) ‖ one
-    metadata column whose leading rows carry the per-request ints
-    (uid, now, hour, dow, client, viewer rows, follows) and, after them,
-    the bitcast ctx scalars. Requires PB ≥ 5+V+FW+4.
+    than in bytes. Layout: cand int32 columns ‖ store rows ‖ bitcast(f32
+    lift) ‖ one metadata column whose leading rows carry the per-request
+    ints (uid, now, hour, dow, client, viewer rows, follows) and, after
+    them, the bitcast ctx scalars. Requires PB ≥ 5+V+FW+4.
+
+    ``compact_rows``: the 14 store-row columns pack as int16 pairs in 7
+    int32 lanes (−29% upload bytes — the transfer dominates the scoring
+    phase on a tunneled chip). Valid only when every aggregate store's
+    capacity < 32768; the scorer checks and selects the format.
     """
     R, PB = req.cand_ids.shape
     S = len(CAND_KEYED_AGG)
@@ -684,13 +690,19 @@ def pack_requests(req: DeviceRequests) -> np.ndarray:
     n_meta = 5 + V + FW + 4
     if PB < n_meta:
         raise ValueError(f"pad_b={PB} < metadata rows {n_meta}")
-    W = 3 + S + _N_LIFT + 1
+    SW = S // 2 if compact_rows else S  # packed width of the row block
+    W = 3 + SW + _N_LIFT + 1
     out = np.empty((R, PB, W), np.int32)
     out[..., 0] = req.cand_ids
     out[..., 1] = req.author_ids
     out[..., 2] = req.source_idx
-    out[..., 3:3 + S] = req.agg_rows
-    out[..., 3 + S:3 + S + _N_LIFT] = (
+    if compact_rows:
+        out[..., 3:3 + SW] = (
+            np.ascontiguousarray(req.agg_rows, np.int32)
+            .astype(np.int16).reshape(R, PB, SW, 2).view(np.int32)[..., 0])
+    else:
+        out[..., 3:3 + SW] = req.agg_rows
+    out[..., 3 + SW:3 + SW + _N_LIFT] = (
         np.ascontiguousarray(req.lift, np.float32).view(np.int32))
     meta = out[..., -1]
     meta[:, 0] = req.uid
@@ -705,17 +717,25 @@ def pack_requests(req: DeviceRequests) -> np.ndarray:
     return out
 
 
-def unpack_requests(packed: jnp.ndarray, follow_width: int) -> DeviceRequests:
+def unpack_requests(packed: jnp.ndarray, follow_width: int,
+                    compact_rows: bool = False) -> DeviceRequests:
     """jit-side inverse of :func:`pack_requests` (pure slicing/bitcast)."""
     S = len(CAND_KEYED_AGG)
     V = len(VIEWER_KEYED_AGG)
     FW = follow_width
+    SW = S // 2 if compact_rows else S
     meta = packed[..., -1]
     bc = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)  # noqa: E731
+    if compact_rows:
+        rows16 = jax.lax.bitcast_convert_type(
+            packed[..., 3:3 + SW], jnp.int16)  # [R, PB, SW, 2]
+        agg_rows = rows16.reshape(*packed.shape[:-1], S).astype(jnp.int32)
+    else:
+        agg_rows = packed[..., 3:3 + SW]
     return DeviceRequests(
         cand_ids=packed[..., 0], author_ids=packed[..., 1],
-        source_idx=packed[..., 2], agg_rows=packed[..., 3:3 + S],
-        lift=bc(packed[..., 3 + S:3 + S + _N_LIFT]),
+        source_idx=packed[..., 2], agg_rows=agg_rows,
+        lift=bc(packed[..., 3 + SW:3 + SW + _N_LIFT]),
         uid=meta[:, 0], now=meta[:, 1],
         ctx_hour=meta[:, 2], ctx_dow=meta[:, 3], ctx_client=meta[:, 4],
         viewer_agg_rows=meta[:, 5:5 + V],
@@ -822,11 +842,16 @@ class DeviceHydrationScorer:
             return
 
         follow_width = self.builder.follow_width
+        # compact int16 row packing when every store's capacity fits
+        self._compact_rows = all(
+            int(v.shape[0]) < 32768 for v in tables.agg_values)
+        compact = self._compact_rows
 
         def run(tables, params, packed):
             from the_algorithm_tpu.models import masknet
 
-            req = unpack_requests(packed, follow_width)
+            req = unpack_requests(packed, follow_width,
+                                  compact_rows=compact)
             x = assemble(tables, fns, req, n_sources=n_sources)
             R, PB, F = x.shape
             probs = jax.nn.sigmoid(
@@ -855,7 +880,8 @@ class DeviceHydrationScorer:
 
     def _dispatch(self, reqs):
         stacked = batch_requests(reqs)
-        packed = pack_requests(stacked)  # ONE upload
+        packed = pack_requests(
+            stacked, compact_rows=self._compact_rows)  # ONE upload
         if self._device is not None:
             packed = jax.device_put(packed, self._device)
         out = np.asarray(
