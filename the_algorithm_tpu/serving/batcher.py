@@ -82,6 +82,21 @@ class RequestBatcher:
         except queue.Empty:
             return []
         batch = [first]
+        # drain everything ALREADY queued first — items that accumulated
+        # while the worker served the previous batch are free. (Checking
+        # the deadline before draining degenerates to size-1 batches
+        # whenever the worker falls behind: the oldest item's deadline has
+        # always passed by then.)
+        while len(batch) < self.config.max_batch_size:
+            try:
+                batch.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        # NOTE: the straggler deadline stays anchored at the OLDEST item's
+        # enqueue (navi's duration_past rule). Anchoring at collect start
+        # was measured SLOWER end to end: fragment batches of stragglers
+        # pipeline the host phases of one batch under the device phases of
+        # the next, where perfectly coalesced batches serialize.
         deadline = first.enqueued_at + self.config.max_delay_ms / 1e3
         while len(batch) < self.config.max_batch_size:
             remaining = deadline - time.perf_counter()
@@ -148,13 +163,23 @@ class DynamicBatcher:
     # -- worker --------------------------------------------------------------
 
     def _collect(self) -> List[_Pending]:
-        """Block for one request, then drain until size or deadline."""
+        """Block for one request, drain the backlog for free, then wait
+        out the oldest item's remaining deadline for stragglers."""
         try:
             first = self._queue.get(timeout=0.05)
         except queue.Empty:
             return []
         batch = [first]
         total = first.inputs.shape[0]
+        # free drain (see RequestBatcher._collect: deadline-first checking
+        # degenerates to single-item batches once the worker lags)
+        while total < self.config.max_batch_size:
+            try:
+                nxt = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            batch.append(nxt)
+            total += nxt.inputs.shape[0]
         deadline = first.enqueued_at + self.config.max_delay_ms / 1e3
         while total < self.config.max_batch_size:
             remaining = deadline - time.perf_counter()
