@@ -443,7 +443,10 @@ def bench_foryou_batched(sann_ids, sann_scores, sann_dt_per_request,
         tables, fns, resolvers, model, params,
         masknet.DEFAULT_HEAD_WEIGHTS, pad_b=PB,
         compute_dtype=(jnp.bfloat16 if jax.default_backend() == "tpu"
-                       else jnp.float32))
+                       else jnp.float32),
+        # diversity rescore + top-K run ON DEVICE: the result fetch
+        # shrinks from [R, PB, 16] to [R, 50, 17] (+15% at R=32)
+        select_top_k=50)
     scorer.tables, scorer.params = tables, params
 
     # OON legs: REAL SANN retrieval rows from the measured batch program

@@ -297,3 +297,37 @@ class TestExactScanTier:
         got4 = tiered.get_batch(
             [Q(999)], Params({EXACT_RETRIEVAL_TIER: False}))
         assert got4[0].cols.get("exact_tier") is None
+
+
+def test_device_side_selection_matches_host_path(setup):
+    """select_top_k: the on-device diversity rescore + top-K must rank
+    like the host _rescore_select path (fp-tie tolerant)."""
+    world, scorer, model, params, weights = setup
+    tables, fns, resolvers = scorer.tables, scorer.fns, scorer.builder.resolvers
+    dev_scorer = dh.DeviceHydrationScorer(
+        tables, fns, resolvers, model, params, weights,
+        pad_b=128, compute_dtype=jnp.float32, select_top_k=20,
+    )
+    host_engine = bf.BatchedForYouEngine(
+        batch_sources=source_specs(), scorer=scorer,
+        head_names=[f"h{i}" for i in range(4)],
+        lift=bf.ColumnsLift(A, NOW),
+    )
+    dev_engine = bf.BatchedForYouEngine(
+        batch_sources=source_specs(), scorer=dev_scorer,
+        head_names=[f"h{i}" for i in range(4)],
+        lift=bf.ColumnsLift(A, NOW),
+    )
+    queries = [query_for(u) for u in (3, 9)]
+    host_out = host_engine.serve_batch(queries)
+    dev_out = dev_engine.serve_batch(queries)
+    for ho, do in zip(host_out, dev_out):
+        hs = {c.id: c.score for c in ho}
+        ds = {c.id: c.score for c in do}
+        common = set(hs) & set(ds)
+        assert len(common) >= len(hs) - 1, (sorted(hs), sorted(ds))
+        for i in common:
+            assert abs(hs[i] - ds[i]) < 1e-4, (i, hs[i], ds[i])
+        # head features present on device-selected candidates
+        assert "predicted_h0" in do[0].features
+        assert len(do) <= queries[0].max_results

@@ -256,6 +256,27 @@ class BatchedForYouEngine:
             cols = dict(c.cols)
             cols["ids"] = c.ids
             score_batch.append((q, cols, len(c)))
+        if getattr(self.scorer, "select_top_k", None) is not None:
+            # device-side selection: diversity rescore + top-K ran in the
+            # fused program; only K rows per request come back
+            selected = self.scorer.select_columnar(score_batch)
+            out_sel: List[List[Candidate]] = []
+            for q, c, (ids, scores, probs) in zip(queries, merged,
+                                                  selected):
+                k = int(getattr(q, "max_results", self.scorer.select_top_k))
+                pos_of = {int(i): j for j, i in enumerate(c.ids)}
+                cands = []
+                for i, s, p in zip(ids[:k], scores[:k], probs[:k]):
+                    j = pos_of.get(int(i))
+                    feats = ({n: v[j].item() for n, v in c.cols.items()
+                              if n not in ("source_idx", "source_hash")}
+                             if j is not None else {})
+                    for hi, h in enumerate(self.head_names):
+                        feats[f"predicted_{h}"] = float(p[hi])
+                    cands.append(Candidate(
+                        id=int(i), score=float(s), features=feats))
+                out_sel.append(cands)
+            return out_sel
         results = self.scorer.score_columnar(score_batch)
 
         out: List[List[Candidate]] = []

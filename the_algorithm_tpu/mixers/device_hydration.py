@@ -402,6 +402,57 @@ def _rsx_block(
     return jnp.stack(out_cols, axis=-1)
 
 
+def diversity_select(
+    combined: jnp.ndarray,  # [R, PB] combined scores
+    author_ids: jnp.ndarray,  # [R, PB] (-1 = unknown)
+    cand_ids: jnp.ndarray,  # [R, PB] (PAD_ID = empty slot)
+    k: int,
+    *,
+    decay: float = 0.5,
+    floor: float = 0.25,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Author-diversity rescore + top-K ON DEVICE → (sel_idx [R, k],
+    sel_ids [R, k], sel_scores [R, k]).
+
+    The vectorized twin of ``BatchedForYouEngine._rescore_select`` (itself
+    ≡ the ListwiseRescoringProvider author-diversity rule): rank by
+    combined score, decay each author's n-th appearance by decay**n
+    (floored), re-rank, take K. Keeping selection on device shrinks the
+    result fetch from [R, PB, H+1] to [R, k, ·] — the fetch was ~35% of a
+    32-request serve batch on a tunneled chip.
+    """
+    R, PB = combined.shape
+    valid = cand_ids != PAD_ID
+    masked = jnp.where(valid, combined, -jnp.inf)
+
+    def one(scores, authors, vmask):
+        order = jnp.argsort(-scores, stable=True)  # [PB] ranked positions
+        a_ranked = authors[order]
+        # occurrence index of each author within the ranked list:
+        # stable-sort ranked authors, count run positions, invert
+        by_author = jnp.argsort(a_ranked, stable=True)
+        a_sorted = a_ranked[by_author]
+        new_run = jnp.concatenate(
+            [jnp.ones((1,), bool), a_sorted[1:] != a_sorted[:-1]])
+        pos = jnp.arange(PB)
+        run_start = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(new_run, pos, 0))
+        occ_sorted = pos - run_start
+        occ = jnp.zeros((PB,), jnp.int32).at[by_author].set(
+            occ_sorted.astype(jnp.int32))
+        factor = jnp.maximum(decay ** occ.astype(jnp.float32), floor)
+        factor = jnp.where(a_ranked >= 0, factor, 1.0)
+        rescored = scores[order] * factor
+        rescored = jnp.where(vmask[order], rescored, -jnp.inf)
+        top, sel = jax.lax.top_k(rescored, k)
+        return order[sel], top
+
+    sel_idx, sel_scores = jax.vmap(one)(masked, author_ids, valid)
+    sel_ids = jnp.take_along_axis(cand_ids, sel_idx, axis=1)
+    sel_ids = jnp.where(jnp.isfinite(sel_scores), sel_ids, PAD_ID)
+    return sel_idx, sel_ids, sel_scores
+
+
 # -- host-side request building ------------------------------------------------
 
 
@@ -826,6 +877,9 @@ class DeviceHydrationScorer:
         source_names: Optional[Sequence[str]] = None,
         compute_dtype=jnp.bfloat16,
         device=None,
+        select_top_k: Optional[int] = None,
+        diversity_decay: float = 0.5,
+        diversity_floor: float = 0.25,
     ):
         self.builder = HostRequestBuilder(
             resolvers, source_names=source_names, pad_b=pad_b)
@@ -846,6 +900,9 @@ class DeviceHydrationScorer:
         self._compact_rows = all(
             int(v.shape[0]) < 32768 for v in tables.agg_values)
         compact = self._compact_rows
+        self.select_top_k = select_top_k
+        self.diversity_decay = diversity_decay
+        self.diversity_floor = diversity_floor
 
         def run(tables, params, packed):
             from the_algorithm_tpu.models import masknet
@@ -860,6 +917,20 @@ class DeviceHydrationScorer:
             probs = probs.reshape(R, PB, -1).astype(jnp.float32)
             combined = masknet.weighted_model_score(
                 probs, jnp.asarray(head_weights, jnp.float32))
+            if select_top_k is not None:
+                # device-side diversity rescore + top-K: the fetch shrinks
+                # from [R, PB, H+1] to [R, K, H+2]
+                sel_idx, sel_ids, sel_scores = diversity_select(
+                    combined, req.author_ids, req.cand_ids, select_top_k,
+                    decay=diversity_decay, floor=diversity_floor)
+                sel_probs = jnp.take_along_axis(
+                    probs, sel_idx[..., None], axis=1)  # [R, K, H]
+                return jnp.concatenate([
+                    sel_probs,
+                    sel_scores[..., None],
+                    jax.lax.bitcast_convert_type(
+                        sel_ids, jnp.float32)[..., None],
+                ], axis=-1)
             # ONE output array (probs ‖ combined): a single device→host
             # fetch instead of two round trips
             return jnp.concatenate([probs, combined[..., None]], axis=-1)
@@ -901,6 +972,9 @@ class DeviceHydrationScorer:
     def score_columnar(self, batch):
         """batch: [(query, cols, n), ...] (columnar candidates) →
         [(probs [n, H], combined [n]), ...] — the zero-object hot path."""
+        if self.select_top_k is not None:
+            raise RuntimeError(
+                "scorer built with select_top_k: use select_columnar")
         reqs = [self.builder.build_columnar(q, cols, n)
                 for q, cols, n in batch]
         probs, combined = self._dispatch(reqs)
@@ -909,3 +983,22 @@ class DeviceHydrationScorer:
             B = min(n, probs.shape[1])
             out.append((probs[i, :B], combined[i, :B]))
         return out
+
+    def select_columnar(self, batch):
+        """Device-selected path: [(query, cols, n), ...] →
+        [(sel_ids [K], sel_scores [K], sel_probs [K, H]), ...]."""
+        reqs = [self.builder.build_columnar(q, cols, n)
+                for q, cols, n in batch]
+        stacked = batch_requests(reqs)
+        packed = pack_requests(stacked, compact_rows=self._compact_rows)
+        if self._device is not None:
+            packed = jax.device_put(packed, self._device)
+        out = np.asarray(self._jit(self.tables, self.params, packed))
+        probs = out[..., :-2]
+        scores = out[..., -2]
+        ids = np.ascontiguousarray(out[..., -1]).view(np.int32)
+        res = []
+        for i in range(len(batch)):
+            ok = np.isfinite(scores[i])
+            res.append((ids[i][ok], scores[i][ok], probs[i][ok]))
+        return res
