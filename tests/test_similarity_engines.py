@@ -354,6 +354,43 @@ class TestRoundFourEngines:
         # the author-2 adjustment dominates: top candidate is author 2's
         assert authors_of[got[0].id] == 2
 
+    def test_earlybird_model_based_engine_unsorted_seeds(self):
+        """Seeds in weight order (NOT sorted by author id): each author must
+        still get ITS weight — regression for the r4 sort-authors-only bug."""
+        import the_algorithm_tpu.search.earlybird as eb
+
+        T = 16
+        toks = np.full((T, 4), int(sparse_mod.PAD_ID), np.int32)
+        toks[:, 0] = 7
+        authors = (np.arange(T) % 4).astype(np.int32)
+        feats = np.zeros((T, len(eb.DOC_FEATURES)), np.float32)
+        feats[:, 0] = np.arange(T) / T
+        idx = eb.EarlybirdIndex(
+            jnp.asarray(toks), jnp.asarray(authors),
+            jnp.asarray(np.full(T, 100, np.int32)), jnp.asarray(feats),
+            jnp.asarray(1000 + np.arange(T, dtype=np.int32)), jnp.int32(T))
+
+        def model_score(f):
+            return f[:, 0] * 10.0
+
+        # top-authors-by-weight order: author 3 (weight 50) before author 1
+        # (weight 0). Sorting authors without the weights would hand author
+        # 1 the 50 and author 3 the 0.
+        eng = SE.EarlybirdModelBasedEngine(
+            idx, lambda q: ([3, 1], [50.0, 0.0]), model_score,
+            max_results=6)
+        got = eng.get(self._q(), None)
+        assert got, "no candidates"
+        authors_of = {1000 + i: int(authors[i]) for i in range(T)}
+        for c in got:
+            assert authors_of[c.id] in (1, 3)
+        # the +50 adjustment belongs to author 3: every author-3 candidate
+        # must outrank every author-1 candidate
+        ranks_3 = [r for r, c in enumerate(got) if authors_of[c.id] == 3]
+        ranks_1 = [r for r, c in enumerate(got) if authors_of[c.id] == 1]
+        assert ranks_3 and ranks_1
+        assert max(ranks_3) < min(ranks_1)
+
     def test_lookup_engine_routes_and_caches(self):
         calls = []
 

@@ -66,9 +66,15 @@ class CandidateColumns:
             names.update(p.cols)
         cols = {}
         for n in names:
+            # Missing-column default MUST match HostRequestBuilder.build's
+            # 0.0 for numeric flag/count context features (is_in_network,
+            # social_proof, …): a -1 fill there is out-of-distribution
+            # serving/training skew. Only id-like columns keep the -1
+            # "absent" sentinel.
+            fill = -1 if (n.endswith("_id") or n == "id") else 0.0
             cols[n] = np.concatenate([
                 np.asarray(p.cols[n]) if n in p.cols
-                else np.full(len(p), -1 if not n.endswith("score") else 0.0)
+                else np.full(len(p), fill)
                 for p in parts
             ])
         return CandidateColumns(

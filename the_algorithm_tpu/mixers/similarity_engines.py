@@ -793,9 +793,11 @@ class EarlybirdModelBasedEngine(CandidateSource):
     def get(self, query, params) -> List[Candidate]:
         authors, weights = self._seeds_fn(query)
         i = self.index
+        # authors and weights MUST stay pairwise aligned: the kernel maps
+        # each candidate's author to its seed weight by position.
         ids, scores = self._jit(
             i.tokens, i.author, i.created_ts, i.features, i.tweet_ids,
-            jnp.asarray(np.sort(np.asarray(authors)), jnp.int32),
+            jnp.asarray(np.asarray(authors), jnp.int32),
             jnp.asarray(weights, jnp.float32),
         )
         return _to_candidates(ids, scores, self.name)

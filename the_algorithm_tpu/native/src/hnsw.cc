@@ -265,7 +265,24 @@ struct HnswIndex {
         link_locked(u, l, idx, cap);
       }
       {
+        // MERGE with any backlinks concurrent inserters already added via
+        // link_locked(idx, …) — an unconditional store would drop them
+        // (lost edge → recall degradation).
         std::lock_guard<std::mutex> g(stripe(idx));
+        LinkList cur = node(idx).links(l);
+        if (cur && !cur->empty()) {
+          for (int32_t u : *cur)
+            if (std::find(mine->begin(), mine->end(), u) == mine->end())
+              mine->push_back(u);
+          if ((int32_t)mine->size() > cap) {
+            std::vector<std::pair<float, int32_t>> scored;
+            scored.reserve(mine->size());
+            for (int32_t u : *mine) scored.emplace_back(dist(v, vec(u)), u);
+            auto kept = select_heuristic(std::move(scored), cap);
+            mine->clear();
+            for (auto& c : kept) mine->push_back(c.second);
+          }
+        }
         std::atomic_store_explicit(&node(idx).neighbors[l],
                                    LinkList(std::move(mine)),
                                    std::memory_order_release);
@@ -369,28 +386,41 @@ int32_t tpurecsys_hnsw_search(void* h, const float* q, int32_t k, int32_t ef,
 
 int tpurecsys_hnsw_save(void* hp, const char* path) {
   auto* h = (HnswIndex*)hp;
-  // quiesce writers (readers are harmless: the count snapshot bounds us)
+  // Blocks new slot allocations; inserts already past the alloc phase may
+  // still be linking concurrently. Snapshot order matters: read the entry
+  // point FIRST, then the count — an entry point is only ever promoted to
+  // an idx that count has already published, so ep < n is guaranteed.
   std::lock_guard<std::mutex> g(h->alloc_lock);
+  int32_t ep = h->entry_point.load(std::memory_order_acquire);
+  int32_t maxl = h->max_level.load(std::memory_order_acquire);
   int32_t n = h->count.load(std::memory_order_acquire);
   FILE* f = std::fopen(path, "wb");
   if (!f) return -1;
   uint64_t header[8] = {kMagic, (uint64_t)h->dim, (uint64_t)h->metric,
                         (uint64_t)h->m, (uint64_t)h->ef_construction,
                         (uint64_t)n,
-                        (uint64_t)(int64_t)h->entry_point.load(),
-                        (uint64_t)(int64_t)h->max_level.load()};
+                        (uint64_t)(int64_t)ep,
+                        (uint64_t)(int64_t)maxl};
   std::fwrite(header, sizeof(header), 1, f);
   for (int32_t i = 0; i < n; ++i)
     std::fwrite(h->vec(i), sizeof(float), h->dim, f);
+  std::vector<int32_t> kept;
   for (int32_t i = 0; i < n; ++i) {
     Node& nd = h->node(i);
     int64_t meta[2] = {nd.id, nd.level};
     std::fwrite(meta, sizeof(meta), 1, f);
     for (int32_t l = 0; l <= nd.level; ++l) {
       LinkList nbrs = nd.links(l);
-      uint32_t cnt = nbrs ? (uint32_t)nbrs->size() : 0;
+      // Drop backlinks to idx >= n: an in-flight insert past the count
+      // snapshot may have linked itself into nodes < n; serializing those
+      // edges would leave the file referencing elements it doesn't hold.
+      kept.clear();
+      if (nbrs)
+        for (int32_t u : *nbrs)
+          if (u < n) kept.push_back(u);
+      uint32_t cnt = (uint32_t)kept.size();
       std::fwrite(&cnt, sizeof(cnt), 1, f);
-      if (cnt) std::fwrite(nbrs->data(), sizeof(int32_t), cnt, f);
+      if (cnt) std::fwrite(kept.data(), sizeof(int32_t), cnt, f);
     }
   }
   std::fclose(f);

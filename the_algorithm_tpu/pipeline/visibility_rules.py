@@ -24,53 +24,19 @@ from __future__ import annotations
 from typing import Callable, Dict, List, Mapping
 
 from the_algorithm_tpu.pipeline.visibility import Action, Rule, SafetyLevel
-
-Condition = Callable[[Mapping], bool]
-
-
-# -- condition combinators (rules/Condition.scala) ----------------------------
-
-
-def tweet_label(name: str) -> Condition:
-    return lambda f: name in f.get("tweet_labels", ())
-
-
-def author_label(name: str) -> Condition:
-    return lambda f: name in f.get("author_labels", ())
-
-
-def score_above(key: str, threshold: float) -> Condition:
-    return lambda f: float(f.get(key, 0.0)) > threshold
-
-
-def flag(key: str) -> Condition:
-    return lambda f: bool(f.get(key, False))
-
-
-def non_author(c: Condition) -> Condition:
-    """≡ NonAuthorWithTweetLabelRule: never hide content from its author."""
-    return lambda f: not f.get("viewer_is_author", False) and c(f)
-
-
-def non_follower(c: Condition) -> Condition:
-    """≡ NonFollowerWithTweetLabelRule: followers opted in by following."""
-    return lambda f: (
-        not f.get("viewer_is_author", False)
-        and not f.get("viewer_follows_author", False)
-        and c(f)
-    )
-
-
-def all_of(*cs: Condition) -> Condition:
-    return lambda f: all(c(f) for c in cs)
-
-
-def any_of(*cs: Condition) -> Condition:
-    return lambda f: any(c(f) for c in cs)
-
-
-def not_(c: Condition) -> Condition:
-    return lambda f: not c(f)
+from the_algorithm_tpu.pipeline.visibility_conditions import (  # noqa: F401
+    Condition,
+    all_of,
+    any_of,
+    author_label,
+    flag,
+    muted_keyword,
+    non_author,
+    non_follower,
+    not_,
+    score_above,
+    tweet_label,
+)
 
 
 # -- relationship rules (FollowerRelations.scala) -----------------------------
@@ -592,12 +558,6 @@ PUSH_STRICT_RULES = [
 ]
 
 # -- viewer muted keywords (MutedKeywordRules) ----------------------------------
-
-
-def muted_keyword(f) -> bool:
-    muted = f.get("viewer_muted_keywords", ())
-    toks = f.get("tweet_keywords", ())
-    return bool(set(muted) & set(toks))
 
 
 MUTED_KEYWORD_RULES = [

@@ -122,6 +122,15 @@ class RequestBatcher:
                     p.future.set_exception(e)
                 continue
             self.stats.stat("serve_ms", (time.perf_counter() - t0) * 1e3)
+            if len(outs) != len(batch):
+                # Contract violation: zip-truncating would leave the excess
+                # callers blocked until their serve() timeout.
+                err = RuntimeError(
+                    f"serve_fn returned {len(outs)} outputs for "
+                    f"{len(batch)} inputs")
+                for p in batch:
+                    p.future.set_exception(err)
+                continue
             for p, o in zip(batch, outs):
                 p.future.set_result(o)
 
