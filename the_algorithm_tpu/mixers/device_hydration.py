@@ -143,21 +143,21 @@ def _bucket_proj(cl: jnp.ndarray, sc: jnp.ndarray, buckets: int) -> jnp.ndarray:
     return jnp.einsum("...k,...kb->...b", jnp.where(valid, sc, 0.0), onehot)
 
 
-def _agg_expose(
-    values: jnp.ndarray,  # [cap, L*4*H]
-    last_ts: jnp.ndarray,  # [cap]
-    rows: jnp.ndarray,  # [...] int32, -1 = missing
-    now: jnp.ndarray,  # scalar int32
+def _agg_expose_rows(
+    block: jnp.ndarray,  # [..., L*4*H] gathered at max(rows, 0)
+    last: jnp.ndarray,  # [...] gathered last_ts
+    rows: jnp.ndarray,  # [...] int32, -1 = missing (mask only)
+    now: jnp.ndarray,  # [...] or broadcastable int32
 ) -> jnp.ndarray:
-    """Gather + decay-to-now + expose → [..., L*H*5].
+    """Decay-to-now + expose pre-gathered store rows → [..., L*H*5].
 
     Stored layout col=((l*4 + m)*H + h) (``aggregation._layout`` with F=1);
     exposed order (label, half-life, count/sum/mean/sumsq/max) — mirrors
-    ``DecayedAggregatesColumnarHydrator._read`` + ``_expose``.
+    ``DecayedAggregatesColumnarHydrator._read`` + ``_expose``. Split from
+    the gather so the sharded engine can fetch rows with the all-to-all
+    multiget first.
     """
-    safe = jnp.maximum(rows, 0)
-    block = values[safe]  # [..., L*4*H]
-    dt = (now - last_ts[safe]).astype(jnp.float32)[..., None]
+    dt = (now - last).astype(jnp.float32)[..., None]
     hl = jnp.asarray(fs.AGG_HALFLIVES_S, jnp.float32)  # [H]
     hl_cols = jnp.tile(hl, _L * _M_STORED)  # h fastest, matches storage
     block = block * jnp.exp2(-dt / hl_cols)
@@ -174,19 +174,189 @@ def _agg_expose(
     return out.reshape(*shape, _L * _H * 5)
 
 
-def assemble(
+def _agg_expose(
+    values: jnp.ndarray,  # [cap, L*4*H]
+    last_ts: jnp.ndarray,  # [cap]
+    rows: jnp.ndarray,  # [...] int32, -1 = missing
+    now: jnp.ndarray,  # scalar int32
+) -> jnp.ndarray:
+    """Gather + decay-to-now + expose → [..., L*H*5] (local-gather form)."""
+    safe = jnp.maximum(rows, 0)
+    return _agg_expose_rows(values[safe], last_ts[safe], rows, now)
+
+
+def _cap_of(caps: Optional[Dict[str, int]], name: str, arr, axis: int = 0):
+    """True (unpadded) row count of a keyed table.
+
+    Inside the sharded engine the leaf only holds its LOCAL shard (and may
+    be zero-padded to a shard multiple), so modulo keys must come from the
+    recorded logical capacities, not ``shape[0]``.
+    """
+    if caps is not None and name in caps:
+        return caps[name]
+    return arr.shape[axis]
+
+
+def gather_rows(
     tables: DeviceWideTables,
+    req: DeviceRequests,
+    *,
+    gather: Optional[Callable] = None,
+    caps: Optional[Dict[str, int]] = None,
+    agg_packed=None,
+) -> Dict[str, Any]:
+    """Resolve every keyed table row the assembly math needs.
+
+    ``gather(group, key)`` fetches rows for one key array from a dict of
+    same-row-count tables (``{name: [rows, ...]}`` → ``{name: key.shape +
+    ...}``). Default: local HBM indexing. The sharded engine passes an
+    all-to-all multiget (``parallel.sharded_table.route_and_gather``) over
+    the ``model`` mesh axis instead — the TPU twin of the reference's
+    sharded store-fleet multiget (``graph-feature-service/.../worker/
+    handlers/WorkerGetIntersectionHandler.scala:18-31``).
+
+    Tables sharing the same key flavor AND row count ride one gather call
+    (one id routing in the sharded case) — the route count is what the
+    sharded serve program's latency pays for, so the grouping is
+    aggressive: all viewer-keyed tables with one capacity are one route,
+    as are all tweet-keyed and author-keyed dense tables.
+
+    ``agg_packed``: optional ``(values_cat, last_cat, row_offsets)`` —
+    the 18 aggregate stores concatenated row-wise (offsets: np [S+V]).
+    When given, ALL candidate-keyed store rows resolve in ONE gather (and
+    the viewer stores in one more) instead of 18 — the sharded engine's
+    placement builds this packing.
+    """
+    if gather is None:
+        def gather(group, key):
+            return {n: t[key] for n, t in group.items()}
+
+    ids = req.cand_ids
+    authors = req.author_ids
+    uid = req.uid
+    rows: Dict[str, Any] = {}
+
+    A_m = _cap_of(caps, "tweepcred", tables.tweepcred)
+    A_m2 = _cap_of(caps, "author_meta", tables.author_meta)
+    U_g = _cap_of(caps, "gfs_neighbors", tables.gfs_neighbors, axis=1)
+    clip_a = jnp.clip(authors, 0)
+
+    # key flavor per table: same (flavor, cap) ⇒ identical key array ⇒
+    # shared route. ``clip``: clip-then-mod (host-hydrator author-meta and
+    # GFS keying); author_meta's double modulo collapses into it when the
+    # capacities agree (the common case), else routes alone.
+    flavors = {
+        "ids": lambda cap: ids % cap,
+        "authors": lambda cap: authors % cap,
+        "clip": lambda cap: clip_a % cap,
+        "uid": lambda cap: uid % cap,
+    }
+    plan: Dict[Tuple[str, int], Dict[str, jnp.ndarray]] = {}
+
+    def add(flavor, name, tab, cap=None):
+        cap = int(cap if cap is not None else _cap_of(caps, name, tab))
+        plan.setdefault((flavor, cap), {})[name] = tab
+
+    add("ids", "doc", tables.doc_table)
+    add("ids", "tw_tweet", tables.twhin_tweet)
+    add("ids", "media_clip", tables.media_clip)
+    add("ids", "text_emb", tables.text_emb)
+    add("authors", "tw_author", tables.twhin_author)
+    add("authors", "tw_author_follow", tables.twhin_author_follow)
+    add("authors", "author_agg_emb", tables.author_agg_emb)
+    add("clip", "tweepcred", tables.tweepcred, A_m)
+    if A_m2 == A_m:
+        add("clip", "author_meta", tables.author_meta, A_m)
+    add("uid", "rg_nbrs", tables.rg_nbr_ids)
+    add("uid", "rg_counts", tables.rg_counts)
+    add("uid", "rg_last", tables.rg_last_ts)
+    add("uid", "tw_user", tables.twhin_user)
+    add("uid", "tw_user_neg", tables.twhin_user_negative)
+    add("uid", "eng_ids", tables.eng_ids)
+    add("uid", "eng_type", tables.eng_type)
+    add("uid", "eng_ts", tables.eng_ts)
+    add("uid", "eng_valid", tables.eng_valid)
+    add("uid", "user_interests", tables.user_interests)
+    add("uid", "uss_ids", tables.uss_ids)
+    add("uid", "uss_ts", tables.uss_ts)
+    # GFS adjacency per canonical pair ([E_ent, U, D]: entity slice is a
+    # static index, the U axis is the sharded/keyed one)
+    for name, (ue, ce) in graph_features.FEATURE_PAIRS.items():
+        add("uid", f"gfs_a::{name}", tables.gfs_neighbors[int(ue)], U_g)
+        add("clip", f"gfs_b::{name}", tables.gfs_neighbors[int(ce)], U_g)
+
+    for (flavor, cap), group in plan.items():
+        rows.update(gather(group, flavors[flavor](cap)))
+    if A_m2 != A_m:
+        rows.update(gather({"author_meta": tables.author_meta},
+                           (clip_a % A_m) % A_m2))
+    rows["gfs_a"] = {n: rows.pop(f"gfs_a::{n}")
+                     for n in graph_features.FEATURE_PAIRS}
+    rows["gfs_b"] = {n: rows.pop(f"gfs_b::{n}")
+                     for n in graph_features.FEATURE_PAIRS}
+
+    # aggregate stores: host-resolved row indices (-1 = miss; gather at
+    # max(rows, 0), the expose masks)
+    S = len(CAND_KEYED_AGG)
+    V = len(VIEWER_KEYED_AGG)
+    if agg_packed is not None:
+        values_cat, last_cat, offsets = agg_packed
+        off = jnp.asarray(offsets, jnp.int32)
+        keys = jnp.maximum(req.agg_rows, 0) + off[None, None, :S]
+        got = gather({"av": values_cat, "al": last_cat}, keys)
+        rows["agg_cand_vals"] = tuple(
+            got["av"][:, :, si] for si in range(S))
+        rows["agg_cand_last"] = tuple(
+            got["al"][:, :, si] for si in range(S))
+        vkeys = jnp.maximum(req.viewer_agg_rows, 0) + off[None, S:]
+        got_v = gather({"av": values_cat, "al": last_cat}, vkeys)
+        rows["agg_viewer_vals"] = tuple(
+            got_v["av"][:, vi] for vi in range(V))
+        rows["agg_viewer_last"] = tuple(
+            got_v["al"][:, vi] for vi in range(V))
+    else:
+        cand_vals, cand_last = [], []
+        for si in range(S):
+            r = jnp.maximum(req.agg_rows[:, :, si], 0)
+            got = gather({"v": tables.agg_values[si],
+                          "l": tables.agg_last_ts[si]}, r)
+            cand_vals.append(got["v"])
+            cand_last.append(got["l"])
+        viewer_vals, viewer_last = [], []
+        for vi in range(V):
+            si = S + vi
+            r = jnp.maximum(req.viewer_agg_rows[:, vi], 0)
+            got = gather({"v": tables.agg_values[si],
+                          "l": tables.agg_last_ts[si]}, r)
+            viewer_vals.append(got["v"])
+            viewer_last.append(got["l"])
+        rows["agg_cand_vals"] = tuple(cand_vals)
+        rows["agg_cand_last"] = tuple(cand_last)
+        rows["agg_viewer_vals"] = tuple(viewer_vals)
+        rows["agg_viewer_last"] = tuple(viewer_last)
+
+    # replicated parameters the math phase needs
+    rows["rg_w"] = tables.rg_w
+    rows["rg_b"] = tables.rg_b
+    return rows
+
+
+def assemble_from_rows(
+    rows: Dict[str, Any],
     fns: DeviceFns,
     req: DeviceRequests,
     *,
     n_sources: int,
+    eng_rows: int,
     sc_buckets: int = 64,
 ) -> jnp.ndarray:
-    """[R, PB, total_width(WIDE_SCHEMA)] — device twin of the host catalog.
+    """[R, PB, total_width(WIDE_SCHEMA)] from pre-gathered rows.
 
-    Families emit in exactly ``feature_schema.build_wide_schema`` order;
-    every block mirrors its ``wide_hydrators`` twin's math (same modulo
-    keying, same decay, same layouts).
+    Pure per-candidate math — no table indexing — so it runs identically
+    on local-gathered rows (single chip) and multiget-gathered rows (the
+    model-sharded serve engine, where PB is this shard's candidate slice).
+    ``eng_rows``: logical row count of the engagement table (the viewer
+    InterestedIn fixture keys on it).
     """
     R, PB = req.cand_ids.shape
     ids = req.cand_ids
@@ -198,21 +368,18 @@ def assemble(
         pieces.append(x if x.ndim == 3 else x[..., None])
 
     # 1. earlybird doc features [R, PB, n_doc]
-    Td = tables.doc_table.shape[0]
-    emit(tables.doc_table[ids % Td])
+    emit(rows["doc"])
 
     # 2. realgraph viewer→author edge block
-    U_rg = tables.rg_nbr_ids.shape[0]
-    u_rg = req.uid % U_rg
-    nbrs = tables.rg_nbr_ids[u_rg]  # [R, D]
-    dt = jnp.maximum(req.now - tables.rg_last_ts[u_rg], 0).astype(jnp.float32)
+    nbrs = rows["rg_nbrs"]  # [R, D]
+    dt = jnp.maximum(req.now - rows["rg_last"], 0).astype(jnp.float32)
     decay = jnp.exp2(-dt / realgraph.DEFAULT_HALF_LIFE_S)  # [R]
-    decayed = tables.rg_counts[u_rg] * decay[:, None, None]  # [R, D, Fr]
+    decayed = rows["rg_counts"] * decay[:, None, None]  # [R, D, Fr]
     match = (authors[:, :, None] == nbrs[:, None, :]).astype(jnp.float32)
     feats = jnp.einsum("rbd,rdf->rbf", match, decayed)  # [R, PB, Fr]
     # the RealGraph edge model: sigmoid(log1p(f)·w + b)
     # (``realgraph.predict_edge_scores``)
-    p = jax.nn.sigmoid(jnp.log1p(feats) @ tables.rg_w + tables.rg_b)
+    p = jax.nn.sigmoid(jnp.log1p(feats) @ rows["rg_w"] + rows["rg_b"])
     has_edge = jnp.sum(match, axis=2) > 0
     days = (dt / 86400.0)[:, None]  # [R, 1]
     emit(feats)
@@ -221,30 +388,23 @@ def assemble(
     emit(jnp.where(has_edge, p, 0.0))
 
     # 3. twhin blocks (5 × 64)
-    U_t, A_t, Tw = (tables.twhin_user.shape[0], tables.twhin_author.shape[0],
-                    tables.twhin_tweet.shape[0])
-    emit(jnp.broadcast_to(
-        tables.twhin_user[req.uid % U_t][:, None, :], (R, PB, 64)))
-    emit(tables.twhin_author[authors % A_t])
-    emit(tables.twhin_tweet[ids % Tw])
-    emit(jnp.broadcast_to(
-        tables.twhin_user_negative[req.uid % U_t][:, None, :], (R, PB, 64)))
-    emit(tables.twhin_author_follow[authors % A_t])
+    emit(jnp.broadcast_to(rows["tw_user"][:, None, :], (R, PB, 64)))
+    emit(rows["tw_author"])
+    emit(rows["tw_tweet"])
+    emit(jnp.broadcast_to(rows["tw_user_neg"][:, None, :], (R, PB, 64)))
+    emit(rows["tw_author_follow"])
 
     # 4. RSX engagement-similarity block (kind × window × signal × agg)
-    U_e = tables.eng_ids.shape[0]
-    u_e = req.uid % U_e
     cand_cl, cand_sc = fns.tweet_emb(ids)  # [R, PB, K]
-    eng_cl, eng_sc = fns.tweet_emb(tables.eng_ids[u_e])  # [R, E, K]
-    eng_type = tables.eng_type[u_e]  # [R, E]
-    eng_age = now_c - tables.eng_ts[u_e]  # [R, E]
+    eng_cl, eng_sc = fns.tweet_emb(rows["eng_ids"])  # [R, E, K]
+    eng_age = now_c - rows["eng_ts"]  # [R, E]
     rsx_cols = _rsx_block(
-        cand_cl, cand_sc, eng_cl, eng_sc, eng_type, eng_age,
-        tables.eng_valid[u_e])
+        cand_cl, cand_sc, eng_cl, eng_sc, rows["eng_type"], eng_age,
+        rows["eng_valid"])
     emit(rsx_cols)  # [R, PB, n_rsx] in schema order
 
     # 5. simclusters projections: viewer InterestedIn then candidate tweet
-    ii_cl, ii_sc = fns.tweet_emb(req.uid % U_e)  # [R, K] (fixture semantics)
+    ii_cl, ii_sc = fns.tweet_emb(req.uid % eng_rows)  # [R, K]
     emit(jnp.broadcast_to(
         _bucket_proj(ii_cl, ii_sc, sc_buckets)[:, None, :],
         (R, PB, sc_buckets)))
@@ -252,11 +412,11 @@ def assemble(
 
     # 6. large embeddings
     emit(jnp.broadcast_to(
-        tables.user_interests[req.uid % tables.user_interests.shape[0]]
-        [:, None, :], (R, PB, tables.user_interests.shape[1])))
-    emit(tables.author_agg_emb[authors % tables.author_agg_emb.shape[0]])
-    emit(tables.media_clip[ids % tables.media_clip.shape[0]])
-    emit(tables.text_emb[ids % tables.text_emb.shape[0]])
+        rows["user_interests"][:, None, :],
+        (R, PB, rows["user_interests"].shape[-1])))
+    emit(rows["author_agg_emb"])
+    emit(rows["media_clip"])
+    emit(rows["text_emb"])
 
     # 7. aggregate groups (schema prefix order)
     cand_store_idx = {n: i for i, n in enumerate(CAND_KEYED_AGG)}
@@ -264,27 +424,22 @@ def assemble(
     for prefix in AGG_SCHEMA_ORDER:
         if prefix in cand_store_idx:
             si = cand_store_idx[prefix]
-            rows = req.agg_rows[:, :, si]  # [R, PB]
-            vals, lts = tables.agg_values[si], tables.agg_last_ts[si]
-            # now varies per request: vmap the gather+decay over R
-            block = jax.vmap(
-                lambda rw, nw, v=vals, l=lts: _agg_expose(v, l, rw, nw)
-            )(rows, req.now)  # [R, PB, L*H*5]
+            r = req.agg_rows[:, :, si]  # [R, PB]
+            block = _agg_expose_rows(
+                rows["agg_cand_vals"][si], rows["agg_cand_last"][si],
+                r, now_c)  # [R, PB, L*H*5]
         else:
-            si = len(CAND_KEYED_AGG) + viewer_store_idx[prefix]
-            rows = req.viewer_agg_rows[:, viewer_store_idx[prefix]]  # [R]
-            vals = tables.agg_values[si]
-            lts = tables.agg_last_ts[si]
-            one = jax.vmap(
-                lambda rw, nw, v=vals, l=lts: _agg_expose(v, l, rw, nw)
-            )(rows, req.now)  # [R, L*H*5]
+            vi = viewer_store_idx[prefix]
+            r = req.viewer_agg_rows[:, vi]  # [R]
+            one = _agg_expose_rows(
+                rows["agg_viewer_vals"][vi], rows["agg_viewer_last"][vi],
+                r, req.now)  # [R, L*H*5]
             block = jnp.broadcast_to(one[:, None, :], (R, PB, one.shape[-1]))
         emit(block)
 
     # 8. USS signal counts per window × signal (broadcast)
-    U_s = tables.uss_ids.shape[0]
-    t_ids = tables.uss_ids[req.uid % U_s]  # [R, S, W]
-    t_ts = tables.uss_ts[req.uid % U_s]
+    t_ids = rows["uss_ids"]  # [R, S, W]
+    t_ts = rows["uss_ts"]
     windows = jnp.asarray(
         [90 * 86400, 30 * 86400, 7 * 86400], jnp.int32)  # [3] (USS order)
     cutoffs = req.now[:, None] - windows[None, :]  # [R, 3]
@@ -298,13 +453,10 @@ def assemble(
         counts.reshape(R, 1, 3 * S), (R, PB, 3 * S)))
 
     # 9. GFS intersections (count + normalized per canonical pair)
-    U_g = tables.gfs_neighbors.shape[1]
-    u_g = req.uid % U_g
-    a_g = jnp.clip(authors, 0) % U_g
     gfs_cols = []
-    for name, (ue, ce) in graph_features.FEATURE_PAIRS.items():
-        a_row = tables.gfs_neighbors[int(ue), u_g]  # [R, D]
-        b_rows = tables.gfs_neighbors[int(ce), a_g]  # [R, PB, D]
+    for name in graph_features.FEATURE_PAIRS:
+        a_row = rows["gfs_a"][name]  # [R, D]
+        b_rows = rows["gfs_b"][name]  # [R, PB, D]
         av = a_row != PAD_ID
         bv = b_rows != PAD_ID
         eq = ((a_row[:, None, :, None] == b_rows[:, :, None, :])
@@ -316,12 +468,9 @@ def assemble(
     emit(jnp.stack(gfs_cols, axis=-1))
 
     # 10. author meta + follow relations
-    A_m = tables.tweepcred.shape[0]
-    safe_a = jnp.clip(authors, 0) % A_m
     ok = (authors >= 0).astype(jnp.float32)
-    emit(tables.tweepcred[safe_a] * ok)
-    emit(tables.author_meta[safe_a % tables.author_meta.shape[0]]
-         * ok[..., None])
+    emit(rows["tweepcred"] * ok)
+    emit(rows["author_meta"] * ok[..., None])
     follows_match = jnp.any(
         (authors[:, :, None] == req.follows[:, None, :])
         & (req.follows != PAD_ID)[:, None, :],
@@ -349,6 +498,27 @@ def assemble(
     emit(jax.nn.one_hot(req.source_idx, n_sources))
 
     return jnp.concatenate(pieces, axis=-1)
+
+
+def assemble(
+    tables: DeviceWideTables,
+    fns: DeviceFns,
+    req: DeviceRequests,
+    *,
+    n_sources: int,
+    sc_buckets: int = 64,
+) -> jnp.ndarray:
+    """[R, PB, total_width(WIDE_SCHEMA)] — device twin of the host catalog.
+
+    Families emit in exactly ``feature_schema.build_wide_schema`` order;
+    every block mirrors its ``wide_hydrators`` twin's math (same modulo
+    keying, same decay, same layouts). Local-gather composition of
+    :func:`gather_rows` + :func:`assemble_from_rows`.
+    """
+    rows = gather_rows(tables, req)
+    return assemble_from_rows(
+        rows, fns, req, n_sources=n_sources,
+        eng_rows=tables.eng_ids.shape[0], sc_buckets=sc_buckets)
 
 
 def _rsx_block(

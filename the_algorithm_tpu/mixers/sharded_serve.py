@@ -1,0 +1,341 @@
+"""Model-axis-sharded serve path: the hydration store as a device fleet.
+
+≡ the reference's sharded hydration tier — 100+ feature hydrators batching
+RPCs to *partitioned* Manhattan/memcache/GFS backends
+(``home-mixer/server/src/main/scala/com/twitter/home_mixer/functional_component/feature_hydrator/``,
+``graph-feature-service/src/main/scala/com/twitter/graph_feature_service/worker/handlers/WorkerGetIntersectionHandler.scala:18-31``)
+— re-designed TPU-first: every :class:`DeviceWideTables` leaf is row-sharded
+``P('model', …)`` over the mesh so the serve-path table capacity scales with
+the device count, and the fused hydrate+score program stays ONE program.
+
+Layout (mesh axes ``(data, model)``):
+
+  - requests shard over ``data`` — R/dd rows per data slice;
+  - candidate slots AND table rows shard over ``model`` — each device
+    hydrates + scores its own PB/E candidate columns, resolving remote
+    table rows with the all-to-all row-exchange multiget
+    (:func:`the_algorithm_tpu.parallel.sharded_table.route_and_gather` —
+    the memcache multiget as two ICI collectives);
+  - per-request head scores all-gather over ``model`` (a [R, PB] payload)
+    for the replicated diversity top-K, so the host fetch stays [R, K, ·].
+
+Compute therefore splits over BOTH axes (no redundant hydration in the
+model group), and HBM per device holds ``rows/E`` of every big table —
+the answer to the single-chip capacity ceiling flagged in
+``device_hydration.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from the_algorithm_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+from the_algorithm_tpu.mixers import device_hydration as dh
+from the_algorithm_tpu.mixers import feature_schema as fs
+from the_algorithm_tpu.parallel.sharded_table import route_and_gather
+
+# shard axis per DeviceWideTables field; None = replicated
+_SHARD_AXIS: Dict[str, Optional[int]] = {
+    "doc_table": 0,
+    "rg_nbr_ids": 0, "rg_counts": 0, "rg_last_ts": 0,
+    "rg_w": None, "rg_b": None,
+    "twhin_user": 0, "twhin_author": 0, "twhin_tweet": 0,
+    "twhin_user_negative": 0, "twhin_author_follow": 0,
+    "eng_ids": 0, "eng_type": 0, "eng_ts": 0, "eng_valid": 0,
+    "user_interests": 0, "author_agg_emb": 0, "media_clip": 0, "text_emb": 0,
+    "agg_values": 0, "agg_last_ts": 0,  # per tuple element
+    "uss_ids": 0, "uss_ts": 0,
+    "gfs_neighbors": 1,  # [E_ent, U, D] — the U axis is the keyed one
+    "tweepcred": 0, "author_meta": 0,
+}
+
+# caps-dict name per gather_rows key → DeviceWideTables field
+_CAP_FIELDS = {
+    "doc": "doc_table",
+    "tw_tweet": "twhin_tweet", "media_clip": "media_clip",
+    "text_emb": "text_emb",
+    "tw_author": "twhin_author", "tw_author_follow": "twhin_author_follow",
+    "author_agg_emb": "author_agg_emb",
+    "tweepcred": "tweepcred", "author_meta": "author_meta",
+    "rg_nbrs": "rg_nbr_ids", "rg_counts": "rg_counts", "rg_last": "rg_last_ts",
+    "tw_user": "twhin_user", "tw_user_neg": "twhin_user_negative",
+    "eng_ids": "eng_ids", "eng_type": "eng_type", "eng_ts": "eng_ts",
+    "eng_valid": "eng_valid",
+    "user_interests": "user_interests",
+    "uss_ids": "uss_ids", "uss_ts": "uss_ts",
+}
+
+
+def _pad_rows(arr: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
+    n = arr.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(arr, widths)
+
+
+def table_capacities(tables: dh.DeviceWideTables) -> Dict[str, int]:
+    """Logical (unpadded) row counts, keyed by gather_rows cap names."""
+    caps = {name: int(getattr(tables, field).shape[0])
+            for name, field in _CAP_FIELDS.items()}
+    caps["gfs_neighbors"] = int(tables.gfs_neighbors.shape[1])
+    return caps
+
+
+def place_tables(
+    tables: dh.DeviceWideTables, mesh,
+) -> Tuple[dh.DeviceWideTables, dh.DeviceWideTables]:
+    """Pad shard axes to the model-group size and lay every big table out
+    ``P('model', …)`` on the mesh. Returns (placed tables, spec pytree).
+    Per-device HBM holds rows/E of each sharded leaf."""
+    E = mesh.shape[MODEL_AXIS]
+
+    def leaf(name, arr):
+        axis = _SHARD_AXIS[name]
+        if axis is None:
+            spec = P()
+            out = jnp.asarray(arr)
+        else:
+            spec = P(*([None] * axis), MODEL_AXIS)
+            out = _pad_rows(jnp.asarray(arr), axis, E)
+        return jax.device_put(out, NamedSharding(mesh, spec)), spec
+
+    placed, specs = {}, {}
+    for name in dh.DeviceWideTables._fields:
+        val = getattr(tables, name)
+        if isinstance(val, tuple):
+            pairs = [leaf(name, v) for v in val]
+            placed[name] = tuple(p for p, _ in pairs)
+            specs[name] = tuple(s for _, s in pairs)
+        else:
+            placed[name], specs[name] = leaf(name, val)
+    return dh.DeviceWideTables(**placed), dh.DeviceWideTables(**specs)
+
+
+def _sharded_gather(group: Dict[str, jnp.ndarray], key: jnp.ndarray):
+    """gather_rows hook: all-to-all multiget over the ``model`` axis.
+
+    ``group`` leaves are this device's row shards (shard m owns the
+    contiguous block [m·rps, (m+1)·rps)); ``key`` is this device's own
+    row requests ([R] or [R, PBe]). One id routing serves every leaf.
+    """
+    rps = next(iter(group.values())).shape[0]
+    flat = key.reshape(-1)
+    # bool payloads ride the exchange as uint8
+    casted = {n: (t.astype(jnp.uint8) if t.dtype == jnp.bool_ else t)
+              for n, t in group.items()}
+    rows, _ = route_and_gather(casted, flat, rows_per_shard=rps,
+                               axis=MODEL_AXIS)
+    out = {}
+    for n, r in rows.items():
+        r = r.reshape(key.shape + r.shape[1:])
+        if group[n].dtype == jnp.bool_:
+            r = r.astype(jnp.bool_)
+        out[n] = r
+    return out
+
+
+class ShardedServeEngine:
+    """The batched hydrate+score engine over a ``(data, model)`` mesh.
+
+    Drop-in for :class:`~the_algorithm_tpu.mixers.device_hydration.
+    DeviceHydrationScorer` (same ``score_requests`` / ``score_columnar`` /
+    ``select_columnar`` contract) with the tables partitioned across the
+    mesh. Parity vs the single-device scorer is asserted in
+    ``tests/test_sharded_serve.py`` on multiple mesh shapes.
+    """
+
+    def __init__(
+        self,
+        tables: dh.DeviceWideTables,
+        fns: dh.DeviceFns,
+        resolvers,
+        model,
+        params,
+        head_weights,
+        mesh,
+        *,
+        pad_b: int = 512,
+        source_names: Optional[Sequence[str]] = None,
+        compute_dtype=jnp.bfloat16,
+        select_top_k: Optional[int] = None,
+        diversity_decay: float = 0.5,
+        diversity_floor: float = 0.25,
+    ):
+        self.mesh = mesh
+        E = mesh.shape[MODEL_AXIS]
+        dd = mesh.shape[DATA_AXIS]
+        if pad_b % E != 0:
+            raise ValueError(f"pad_b={pad_b} not divisible by model={E}")
+        self.builder = dh.HostRequestBuilder(
+            resolvers, source_names=source_names, pad_b=pad_b)
+        self._dd = dd
+        self._E = E
+        self.select_top_k = select_top_k
+
+        caps = table_capacities(tables)
+        self.caps = caps
+
+        # pack the 18 aggregate stores into ONE row-concatenated table so
+        # all store rows resolve in two routed gathers instead of 18
+        store_caps = [int(v.shape[0]) for v in tables.agg_values]
+        offsets = np.zeros(len(store_caps), np.int32)
+        offsets[1:] = np.cumsum(store_caps)[:-1]
+        values_cat = jnp.concatenate(
+            [jnp.asarray(v) for v in tables.agg_values], axis=0)
+        last_cat = jnp.concatenate(
+            [jnp.asarray(l) for l in tables.agg_last_ts], axis=0)
+        spec_v = P(MODEL_AXIS, None)
+        spec_l = P(MODEL_AXIS)
+        values_cat = jax.device_put(
+            _pad_rows(values_cat, 0, E), NamedSharding(mesh, spec_v))
+        last_cat = jax.device_put(
+            _pad_rows(last_cat, 0, E), NamedSharding(mesh, spec_l))
+        self._agg_cat = (values_cat, last_cat)
+        self._agg_offsets = offsets
+
+        # the per-store tuples are replaced by minimal placeholders (the
+        # packed table supersedes them; placing both would double HBM)
+        tables = tables._replace(
+            agg_values=tuple(
+                jnp.zeros((E, 1), jnp.float32) for _ in store_caps),
+            agg_last_ts=tuple(
+                jnp.zeros((E,), jnp.int32) for _ in store_caps),
+        )
+        self.tables, specs = place_tables(tables, mesh)
+        self.params = jax.device_put(
+            params, NamedSharding(mesh, P()))
+        self._compact_rows = all(c < 32768 for c in store_caps)
+        compact = self._compact_rows
+        follow_width = self.builder.follow_width
+        n_sources = self.builder.n_sources
+        PBe = pad_b // E
+        head_w = np.asarray(head_weights, np.float32)
+
+        agg_offsets = offsets
+
+        def body(tables, agg_cat, params, packed):
+            from the_algorithm_tpu.models import masknet
+
+            req = dh.unpack_requests(packed, follow_width,
+                                     compact_rows=compact)
+            m = jax.lax.axis_index(MODEL_AXIS)
+
+            def cslice(x):  # this shard's candidate columns
+                return jax.lax.dynamic_slice_in_dim(x, m * PBe, PBe, axis=1)
+
+            loc = req._replace(
+                cand_ids=cslice(req.cand_ids),
+                author_ids=cslice(req.author_ids),
+                agg_rows=cslice(req.agg_rows),
+                lift=cslice(req.lift),
+                source_idx=cslice(req.source_idx),
+            )
+            rows = dh.gather_rows(
+                tables, loc, gather=_sharded_gather, caps=caps,
+                agg_packed=(agg_cat[0], agg_cat[1], agg_offsets))
+            x = dh.assemble_from_rows(
+                rows, fns, loc, n_sources=n_sources,
+                eng_rows=caps["eng_ids"])
+            Rl, _, F = x.shape
+            probs = jax.nn.sigmoid(
+                model.apply(params, x.reshape(Rl * PBe, F)
+                            .astype(compute_dtype)))
+            probs = probs.reshape(Rl, PBe, -1).astype(jnp.float32)
+            combined = masknet.weighted_model_score(
+                probs, jnp.asarray(head_w))
+            # reassemble the full candidate axis for the replicated top-K —
+            # ONE fused collective (probs ‖ combined)
+            both = jax.lax.all_gather(
+                jnp.concatenate([probs, combined[..., None]], axis=-1),
+                MODEL_AXIS, axis=1, tiled=True)  # [Rl, PB, H+1]
+            probs_full = both[..., :-1]
+            comb_full = both[..., -1]
+            if select_top_k is not None:
+                sel_idx, sel_ids, sel_scores = dh.diversity_select(
+                    comb_full, req.author_ids, req.cand_ids, select_top_k,
+                    decay=diversity_decay, floor=diversity_floor)
+                sel_probs = jnp.take_along_axis(
+                    probs_full, sel_idx[..., None], axis=1)
+                return jnp.concatenate([
+                    sel_probs,
+                    sel_scores[..., None],
+                    jax.lax.bitcast_convert_type(
+                        sel_ids, jnp.float32)[..., None],
+                ], axis=-1)
+            return both
+
+        param_specs = jax.tree_util.tree_map(lambda _: P(), params)
+        self._jit = jax.jit(jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(specs, (spec_v, spec_l), param_specs,
+                      P(DATA_AXIS, None, None)),
+            out_specs=P(DATA_AXIS, None, None),
+            check_vma=False,
+        ))
+        self._packed_sharding = NamedSharding(mesh, P(DATA_AXIS, None, None))
+
+    def _dispatch_packed(self, reqs):
+        stacked = dh.batch_requests(reqs)
+        R = stacked.cand_ids.shape[0]
+        pad = (-R) % self._dd
+        if pad:  # data-axis divisibility: repeat the first request row
+            stacked = jax.tree_util.tree_map(
+                lambda x: np.concatenate(
+                    [x, np.repeat(x[:1], pad, axis=0)], axis=0), stacked)
+        packed = dh.pack_requests(stacked, compact_rows=self._compact_rows)
+        packed = jax.device_put(packed, self._packed_sharding)
+        out = np.asarray(
+            self._jit(self.tables, self._agg_cat, self.params, packed))
+        return out[:R]
+
+    def score_requests(self, batch):
+        """batch: [(query, candidates), ...] → [(probs, combined), ...]."""
+        reqs = [self.builder.build(q, c) for q, c in batch]
+        out = self._dispatch_packed(reqs)
+        probs, combined = out[..., :-1], out[..., -1]
+        res = []
+        for i, (q, c) in enumerate(batch):
+            B = min(len(c), probs.shape[1])
+            res.append((probs[i, :B], combined[i, :B]))
+        return res
+
+    def score_columnar(self, batch):
+        """batch: [(query, cols, n), ...] → [(probs [n, H], combined [n])]."""
+        if self.select_top_k is not None:
+            raise RuntimeError(
+                "engine built with select_top_k: use select_columnar")
+        reqs = [self.builder.build_columnar(q, cols, n)
+                for q, cols, n in batch]
+        out = self._dispatch_packed(reqs)
+        probs, combined = out[..., :-1], out[..., -1]
+        res = []
+        for i, (q, cols, n) in enumerate(batch):
+            B = min(n, probs.shape[1])
+            res.append((probs[i, :B], combined[i, :B]))
+        return res
+
+    def select_columnar(self, batch):
+        """Device-selected path → [(sel_ids [K], sel_scores [K],
+        sel_probs [K, H]), ...]."""
+        reqs = [self.builder.build_columnar(q, cols, n)
+                for q, cols, n in batch]
+        out = self._dispatch_packed(reqs)
+        probs = out[..., :-2]
+        scores = out[..., -2]
+        ids = np.ascontiguousarray(out[..., -1]).view(np.int32)
+        res = []
+        for i in range(len(batch)):
+            ok = np.isfinite(scores[i])
+            res.append((ids[i][ok], scores[i][ok], probs[i][ok]))
+        return res
