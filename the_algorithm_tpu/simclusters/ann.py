@@ -402,10 +402,20 @@ def get_tweet_candidates_hybrid(
 
         uniq, dot, norm = jax.vmap(one_query)(
             src_ids, src_scores, src_l2, src_log)  # [Q/dq, R]
-        # fan-in across INDEX shards only (the 'model' axis)
-        g_ids = jax.lax.all_gather(uniq, MODEL_AXIS, axis=1, tiled=True)
-        g_dot = jax.lax.all_gather(dot, MODEL_AXIS, axis=1, tiled=True)
-        g_norm = jax.lax.all_gather(norm, MODEL_AXIS, axis=1, tiled=True)
+        # fan-in across INDEX shards only (the 'model' axis) — ONE fused
+        # collective: dot/norm bitcast into int32 lanes and stacked with
+        # the ids so the fan-in pays one launch instead of three (the
+        # 2x2 mesh point sits within noise of the 0.8 bar;
+        # collective-launch overhead is the controllable term). Integer
+        # lanes, not float: a float path may flush denormal bit patterns.
+        bc_i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)  # noqa: E731
+        bc_f = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)  # noqa: E731
+        packed = jnp.stack([uniq, bc_i(dot), bc_i(norm)], axis=-1)
+        g = jax.lax.all_gather(
+            packed, MODEL_AXIS, axis=1, tiled=True)  # [Q/dq, d_i*R, 3]
+        g_ids = g[..., 0]
+        g_dot = bc_f(g[..., 1])
+        g_norm = bc_f(g[..., 2])
 
         def merge_query(ids, dots, norms, l2, log):
             uniq2, dot2, norm2 = retrieval._dedup_sum(ids, dots, norms)
