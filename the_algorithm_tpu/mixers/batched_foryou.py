@@ -341,12 +341,18 @@ class EarlybirdBatchSource(BatchCandidateSource):
         self._k = max_results
         self._fw = follow_width
 
+        # the in-network leg IS the from:follows operator query
+        # (queryparser's FollowingEarlybirdQueryTransformer form); the
+        # batch path resolves the follow set per request row
+        op_kw = eb.parse_query("from:follows")
+        assert op_kw.pop("from_follows") is True
+
         def batch_search(tok, au, ts, ft, ti, follows_b):
             idx = eb.EarlybirdIndex(tok, au, ts, ft, ti, jnp.int32(0))
             q = eb.SearchQuery(
-                tokens=jnp.full((1,), int(PAD_ID), jnp.int32),
                 require_all=True,
                 min_ts=jnp.int32(0), max_ts=jnp.int32(now),
+                **op_kw,
             )
             # corpus scoring once + per-user mask/top-K (not vmapped scans)
             ids, scores = eb.search_in_network_batch(
@@ -449,7 +455,8 @@ class ExactScanBatchSource(BatchCandidateSource):
 
     def __init__(self, corpus_ids, corpus_scores, embedding_fn,
                  num_clusters: int, max_results: int = 200,
-                 row_to_id=None, block: int = 8192):
+                 row_to_id=None, block: int = 65536,
+                 turbo: bool = False, recall_target: float = 0.99):
         from the_algorithm_tpu.ops import retrieval
 
         self._ids = corpus_ids
@@ -466,9 +473,14 @@ class ExactScanBatchSource(BatchCandidateSource):
             self._device = None
         import functools
 
+        # ``turbo``: bf16 gather + approx per-block collectors — the
+        # at-scale tier operating point (recall measured by the bench,
+        # ~0.99 vs the exact scan; default stays EXACT)
         self._jit = jax.jit(functools.partial(
             retrieval.exact_cosine_scan, num_clusters=num_clusters,
-            max_results=max_results, block=block))
+            max_results=max_results, block=block,
+            compute_dtype=(jnp.bfloat16 if turbo else jnp.float32),
+            approx_block_topk=turbo, recall_target=recall_target))
 
     def dispatch(self, queries, params):
         from the_algorithm_tpu.ops import sparse as sp

@@ -104,7 +104,27 @@ DOC_FEATURES = (
     "root_user_rep", "is_ancestor_in_thread", "descendant_reply_count",
     "conversation_control_flag", "author_following_log",
     "author_tweet_count_log", "author_is_protected", "author_state",
+    # r5: absolute tweet language id — the lang: operator's posting field
+    # (``queryparser``/EarlybirdFieldConstants LANG field)
+    "tweet_language",
 )
+
+# stable small ids for the lang: operator (ISO codes the reference's
+# queryparser accepts; unknown codes hash into the tail range)
+LANGUAGE_IDS = {
+    c: i for i, c in enumerate((
+        "en", "ja", "es", "pt", "ar", "ko", "fr", "tr", "th", "in", "ru",
+        "de", "it", "hi", "pl", "nl", "fa", "und", "zh", "sv", "fi", "da",
+        "no", "hu", "ur", "ta", "el", "he", "cs", "uk", "vi", "ro",
+    ))
+}
+
+
+def language_id(code: str) -> int:
+    c = (code or "und").lower()
+    if c in LANGUAGE_IDS:
+        return LANGUAGE_IDS[c]
+    return len(LANGUAGE_IDS) + (_hash_term(c) % 1000)
 DOC_FEATURE_INDEX = {n: i for i, n in enumerate(DOC_FEATURES)}
 _COUNT_FIELDS = (
     "fav_count", "reply_count", "retweet_count", "quote_count",
@@ -399,6 +419,21 @@ class SearchQuery(NamedTuple):
     # (``FollowingEarlybirdQueryTransformer.scala:40-52``); None ⇒ open end
     min_id: Optional[jnp.ndarray] = None  # [] int32 — ids strictly greater
     max_id: Optional[jnp.ndarray] = None  # [] int32 — ids strictly smaller
+    # -- field operators (``queryparser`` / ``common/query`` r5) -----------
+    # from: author set ([Fa] int32, PAD padded) — distinct from the
+    # in-network follow filter so ``from:<id>`` and ``from:follows``
+    # compose; both AND into the author constraint
+    from_authors: Optional[jnp.ndarray] = None
+    # scored-facet floors / ceilings over the doc-feature columns
+    # (min_faves:/min_retweets:/… and -filter: negations): [n_doc] f32,
+    # -inf / +inf for unconstrained columns
+    feature_min_bounds: Optional[jnp.ndarray] = None
+    feature_max_bounds: Optional[jnp.ndarray] = None
+    # any-of filter groups (filter:media = image OR video OR …): [G, n_doc]
+    # 0/1 — a doc passes iff every group has SOME flagged column ≥ 0.5
+    feature_any_groups: Optional[jnp.ndarray] = None
+    # lang: operator — doc's tweet_language column equals this id
+    lang_id: Optional[jnp.ndarray] = None
 
 
 def phrase_match(tokens: jnp.ndarray, phrases: jnp.ndarray) -> jnp.ndarray:
@@ -489,6 +524,27 @@ def match_mask(index: EarlybirdIndex, query: SearchQuery) -> Tuple[jnp.ndarray, 
         ok &= index.tweet_ids < query.max_id
     if query.followed_authors is not None:
         ok &= _author_in_set(index.author, query.followed_authors)
+    if query.from_authors is not None:
+        ok &= _author_in_set(index.author, query.from_authors)
+    # field operators over the doc-feature columns (lang:, filter:,
+    # min_faves:-style scored facets) — pure VPU compares, fused into the
+    # same scan pass as the term match
+    if query.feature_min_bounds is not None:
+        ok &= jnp.all(
+            index.features >= query.feature_min_bounds[None, :], axis=1)
+    if query.feature_max_bounds is not None:
+        ok &= jnp.all(
+            index.features <= query.feature_max_bounds[None, :], axis=1)
+    if query.feature_any_groups is not None:
+        grp_hit = jnp.any(
+            (index.features[:, None, :] >= 0.5)
+            & (query.feature_any_groups[None, :, :] > 0),
+            axis=2)  # [T, G]
+        nonempty = jnp.any(query.feature_any_groups > 0, axis=1)  # [G]
+        ok &= jnp.all(grp_hit | ~nonempty[None, :], axis=1)
+    if query.lang_id is not None:
+        lang_col = DOC_FEATURE_INDEX["tweet_language"]
+        ok &= index.features[:, lang_col].astype(jnp.int32) == query.lang_id
     return ok, jnp.sum(hit, axis=1) / n_q
 
 
@@ -949,6 +1005,7 @@ def build_documents(
             "author_following_log": float(np.log1p(t.author_following)),
             "author_tweet_count_log": float(np.log1p(t.author_tweet_count)),
             "author_is_protected": t.author_is_protected,
+            "tweet_language": language_id(t.language),
         }
         for n, v in row.items():
             if DOC_FEATURE_INDEX.get(n, F) < F:
@@ -959,22 +1016,132 @@ def build_documents(
     )
 
 
+# filter:NAME → doc-feature constraint. Single-column filters support
+# ``-filter:NAME`` negation (the column must stay below the threshold);
+# any-of groups express media-breadth filters the way the reference's
+# internal posting fields do (``queryparser``/``common/query``).
+_SINGLE_COL_FILTERS = {
+    "links": "has_url",
+    "images": "has_image",
+    "replies": "is_reply",
+    "retweets": "is_retweet",
+    "quote": "is_quote",
+    "news": "has_news_url",
+    "verified": "from_verified_account",
+    "blue_verified": "from_blue_verified_account",
+    "nullcast": "is_nullcast",
+    "self_threads": "is_self_thread",
+    "trusted": "from_verified_account",
+    "spaces": "has_space_card",
+    "polls": "has_poll_card",
+}
+_ANY_GROUP_FILTERS = {
+    "media": ("has_image", "has_native_image", "has_video",
+              "has_consumer_video", "has_pro_video", "has_media_url"),
+    "videos": ("has_video", "has_consumer_video", "has_pro_video"),
+    "cards": ("has_card", "has_poll_card", "has_summary_card",
+              "has_player_card", "has_promo_card"),
+}
+# filter:safe — ceilings instead of floors
+_SAFE_MAX = {"is_sensitive_content": 0.5, "is_user_nsfw": 0.5,
+             "pnsfw_media_score": 0.9}
+_MIN_COUNT_OPS = {
+    "min_faves": "fav_count",
+    "min_retweets": "retweet_count",
+    "min_replies": "reply_count",
+    "min_quotes": "quote_count",
+    "min_score": "text_score",
+}
+
+
 def parse_query(text: str, max_tokens: int = 16, max_phrases: int = 2,
                 phrase_len: int = 4) -> dict:
-    """Parse the user-facing query syntax → SearchQuery token fields.
+    """Parse the user-facing query syntax → SearchQuery kwargs.
 
-    Supports: bare terms, ``-term`` negation, ``"quoted phrase"`` — the
-    operator surface of the serialized query tree the products issue
-    (``queryparser``). Returns kwargs for :class:`SearchQuery`.
+    Operator surface (≡ ``src/java/com/twitter/search/earlybird/
+    queryparser/`` + ``common/query/``): bare terms, ``-term``,
+    ``"quoted phrase"``, ``from:<author-id>``, ``from:follows`` (returned
+    as ``from_follows=True`` for the caller to resolve against the
+    viewer's follow set — the in-network leg's operator form),
+    ``lang:<code>``, ``filter:<name>`` / ``-filter:<name>``,
+    ``min_faves:<n>``-family scored facets, ``since_time:``/``until_time:``
+    (epoch seconds → min_ts/max_ts) and ``since_id:``/``max_id:``.
+    Returns kwargs for :class:`SearchQuery` plus the ``from_follows`` flag.
     """
     phrases_txt = re.findall(r'"([^"]*)"', text)
     rest = re.sub(r'"[^"]*"', " ", text)
     terms, excluded = [], []
+    from_ids = []
+    from_follows = False
+    lang = None
+    nF = len(DOC_FEATURES)
+    min_bounds = np.full(nF, -np.inf, np.float32)
+    max_bounds = np.full(nF, np.inf, np.float32)
+    any_groups = []
+    min_ts = max_ts = min_id = max_id = None
+    has_min = has_max = False
+
+    def col(name):
+        return DOC_FEATURE_INDEX[name]
+
     for w in rest.split():
-        if w.startswith("-") and len(w) > 1:
-            excluded.append(w[1:].lower())
+        lw = w.lower()
+        neg = lw.startswith("-")
+        body = lw[1:] if neg else lw
+        op, _, val = body.partition(":")
+        if _ == ":" and val:
+            if op == "from":
+                if val == "follows":
+                    from_follows = True
+                elif val.isdigit():
+                    from_ids.append(int(val))
+                continue
+            if op == "lang":
+                lang = language_id(val)
+                continue
+            if op == "filter":
+                if val in _SINGLE_COL_FILTERS:
+                    c = col(_SINGLE_COL_FILTERS[val])
+                    if neg:
+                        max_bounds[c] = min(max_bounds[c], 0.5)
+                        has_max = True
+                    else:
+                        min_bounds[c] = max(min_bounds[c], 0.5)
+                        has_min = True
+                elif val in _ANY_GROUP_FILTERS and not neg:
+                    g = np.zeros(nF, np.float32)
+                    for n in _ANY_GROUP_FILTERS[val]:
+                        g[col(n)] = 1.0
+                    any_groups.append(g)
+                elif val == "safe" and not neg:
+                    for n, t_ in _SAFE_MAX.items():
+                        c = col(n)
+                        max_bounds[c] = min(max_bounds[c], t_)
+                    has_max = True
+                continue
+            if op in _MIN_COUNT_OPS and _num(val) is not None:
+                c = col(_MIN_COUNT_OPS[op])
+                min_bounds[c] = max(min_bounds[c], _num(val))
+                has_min = True
+                continue
+            if op == "since_time" and val.isdigit():
+                min_ts = int(val)
+                continue
+            if op == "until_time" and val.isdigit():
+                max_ts = int(val)
+                continue
+            if op == "since_id" and val.isdigit():
+                min_id = int(val)
+                continue
+            if op == "max_id" and val.isdigit():
+                max_id = int(val)
+                continue
+            # unknown operator: fall through as a term (parser leniency)
+        if neg and len(lw) > 1:
+            excluded.append(body)
         else:
-            terms.append(w.lower())
+            terms.append(lw)
+
     tokens = tokenize(" ".join(terms), max_tokens)
     exclude = tokenize(" ".join(excluded), max_tokens) if excluded else None
     phrases = None
@@ -988,11 +1155,73 @@ def parse_query(text: str, max_tokens: int = 16, max_phrases: int = 2,
                 np.int32,
             )
             phrases = np.concatenate([phrases, pad])
-    return dict(
+
+    out = dict(
         tokens=jnp.asarray(tokens),
         exclude_tokens=None if exclude is None else jnp.asarray(exclude),
         phrases=None if phrases is None else jnp.asarray(phrases),
     )
+    if from_follows:
+        # only present when the operator appeared: splatting an UNRESOLVED
+        # from:follows into SearchQuery must fail loudly (resolve it with
+        # :func:`build_query`), while operator-free queries stay
+        # constructible the old way
+        out["from_follows"] = True
+    if from_ids:
+        out["from_authors"] = jnp.asarray(from_ids, jnp.int32)
+    if lang is not None:
+        out["lang_id"] = jnp.int32(lang)
+    if has_min:
+        out["feature_min_bounds"] = jnp.asarray(min_bounds)
+    if has_max:
+        out["feature_max_bounds"] = jnp.asarray(max_bounds)
+    if any_groups:
+        out["feature_any_groups"] = jnp.asarray(np.stack(any_groups))
+    if min_ts is not None:
+        out["min_ts"] = jnp.int32(min_ts)
+    if max_ts is not None:
+        out["max_ts"] = jnp.int32(max_ts)
+    if min_id is not None:
+        out["min_id"] = jnp.int32(min_id)
+    if max_id is not None:
+        out["max_id"] = jnp.int32(max_id)
+    return out
+
+
+def _num(s: str):
+    try:
+        return float(s)
+    except ValueError:
+        return None
+
+
+def build_query(
+    text: str,
+    *,
+    follows=None,
+    min_ts: int = 0,
+    max_ts: int = 2**31 - 1,
+    require_all: bool = True,
+    **parse_kwargs,
+) -> SearchQuery:
+    """Operator text → a complete :class:`SearchQuery`.
+
+    ``from:follows`` resolves against ``follows`` (the viewer's follow
+    set) — the in-network timeline leg in operator form
+    (``FollowingEarlybirdQueryTransformer.scala``). Explicit operator
+    time/id windows override the defaults.
+    """
+    kw = parse_query(text, **parse_kwargs)
+    from_follows = kw.pop("from_follows", False)
+    followed = None
+    if from_follows:
+        if follows is None:
+            raise ValueError("query uses from:follows but no follow set")
+        followed = jnp.asarray(np.asarray(follows, np.int32))
+    kw.setdefault("min_ts", jnp.int32(min_ts))
+    kw.setdefault("max_ts", jnp.int32(max_ts))
+    return SearchQuery(
+        require_all=require_all, followed_authors=followed, **kw)
 
 
 def doc_feature_reader(index: EarlybirdIndex):
