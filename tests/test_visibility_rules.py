@@ -556,3 +556,81 @@ class TestFullCatalogBreadth:
         assert self._eval(lvl, tweet_labels={"pdna"}).action == Action.DROP
         res = self._eval(lvl, author_is_suspended=True)
         assert res.action == Action.DROP
+
+
+class TestRound5RuleTail:
+    """The r5 rule-tail families: sensitive-media per-label triads, the
+    user-unavailable tombstone matrix, DM structural drops, misc tail —
+    catalog ≥420 registered rules."""
+
+    def setup_method(self):
+        self.engine = VR.catalog_engine()
+
+    def _eval(self, level, **feats):
+        return self.engine.evaluate(level, feats)
+
+    def test_catalog_size_r5(self):
+        assert len(VR.all_rule_names()) >= 420
+
+    def test_sensitive_media_per_label_triads(self):
+        # drop setting: adult-content label → DROP on home; the same label
+        # under interstitial setting → INTERSTITIAL
+        res = self._eval(
+            SafetyLevel.TIMELINE_HOME,
+            tweet_labels={"nsfw_reported_heuristics"},
+            media_setting_adult_content="drop")
+        assert res.action == Action.DROP
+        res = self._eval(
+            SafetyLevel.TIMELINE_HOME,
+            tweet_labels={"nsfw_video"},
+            media_setting_graphic_violence="drop")  # wrong category: no-op
+        assert res.action != Action.DROP
+        res = self._eval(
+            SafetyLevel.CONVERSATION,
+            tweet_labels={"gore_and_violence_reported_heuristics"},
+            media_setting_graphic_violence="drop")
+        assert res.action >= Action.TOMBSTONE
+        # the author always sees their own media
+        res = self._eval(
+            SafetyLevel.TIMELINE_HOME,
+            tweet_labels={"nsfw_reported_heuristics"},
+            media_setting_adult_content="drop", viewer_is_author=True)
+        assert res.action == Action.ALLOW
+
+    def test_user_unavailable_tombstone_matrix(self):
+        for labels, feats in (
+            ({"deactivated"}, {}),
+            ({"erased"}, {"is_retweet": True}),
+            ({"suspended"}, {"is_inner_quoted": True}),
+        ):
+            res = self._eval(SafetyLevel.CONVERSATION,
+                             author_labels=labels, **feats)
+            assert res.action >= Action.TOMBSTONE, (labels, feats)
+        res = self._eval(SafetyLevel.CONVERSATION, is_retweet=True,
+                         viewer_mutes_author=True)
+        assert res.action >= Action.TOMBSTONE
+
+    def test_dm_structural_drops(self):
+        for flag_name in ("dm_conversation_info_undefined",
+                          "dm_conversation_empty",
+                          "dm_conversation_inaccessible",
+                          "dm_event_non_perspectival"):
+            res = self._eval(SafetyLevel.DIRECT_MESSAGES,
+                             **{flag_name: True})
+            assert res.action == Action.DROP, flag_name
+        res = self._eval(SafetyLevel.DIRECT_MESSAGES,
+                         dm_is_welcome_message=True,
+                         viewer_is_recipient=False)
+        assert res.action == Action.DROP
+        res = self._eval(SafetyLevel.DIRECT_MESSAGES,
+                         dm_is_welcome_message=True,
+                         viewer_is_recipient=True)
+        assert res.action == Action.ALLOW
+
+    def test_misc_tail(self):
+        res = self._eval(SafetyLevel.TIMELINE_HOME,
+                         tweet_labels={"abuse_policy_episodic"})
+        assert res.action >= Action.LIMITED_ENGAGEMENTS
+        res = self._eval(SafetyLevel.NOTIFICATIONS,
+                         is_reply=True, toxicity_score=0.95)
+        assert res.action == Action.DROP

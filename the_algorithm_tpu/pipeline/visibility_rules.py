@@ -641,7 +641,8 @@ _COMMON_CONTENT = (
 _RANKED_HOME = (
     _BASE + _LABELS_FULL + FOSNR_RULES + FOSNR_ENGAGEMENT_RULES
     + PUBLIC_INTEREST_RULES + DOWNRANKING_RULES + CARD_RULES
-    + SENSITIVE_MEDIA_RULES + ADVANCED_FILTERING_RULES
+    + SENSITIVE_MEDIA_RULES + vb.SENSITIVE_MEDIA_PER_LABEL_RULES
+    + ADVANCED_FILTERING_RULES + vb.MISC_TAIL_RULES[:4]
     + _pick(vb.NSFW_BREADTH_RULES, "NsfwHighRecallTweetLabelRule",
             "NsfwAvatarImageRule", "NsfwBannerImageRule")
     + _pick(vb.GORE_VIOLENCE_RULES,
@@ -671,6 +672,8 @@ _RECS = (
 _SEARCH_TOP = (
     _BASE + SAFE_SEARCH_RULES + _LABELS_FULL + DOWNRANKING_RULES
     + CARD_RULES + SENSITIVE_MEDIA_RULES + vb.SEARCH_BREADTH_RULES
+    + _pick(vb.MISC_TAIL_RULES, 'SearchIpiSafeSearchWithoutUserInQueryDropRule',
+            'NsfwTextAllUsersDropRule', 'UserBlinkWorstAllUsersDropRule')
     + _pick(vb.SPAM_BREADTH_RULES, "FirstPageSearchResultAgathaSpamDropRule",
             "CopypastaSpamAllViewersSearchTweetLabelRule",
             "CopypastaSpamNonFollowerSearchTweetLabelRule",
@@ -700,6 +703,10 @@ _SEARCH_USER = RELATIONSHIP_RULES + SEARCH_PEOPLE_RULES + SPAM_AUTHOR_RULES + [
 ] + vb.UQF_RULES[2:3]
 _NOTIFICATIONS = (
     _BASE + _LABELS_FULL + DOWNRANKING_RULES
+    + _pick(vb.MISC_TAIL_RULES,
+            'ViewerHasMatchingMutedKeywordInSpaceTitleForNotificationsRule',
+            'ToxicityReplyFilterDropNotificationRule',
+            'DeciderableAuthorBlocksViewerDropRule')
     + vb.MUTED_KEYWORD_BREADTH_RULES[1:2] + vb.UQF_RULES[:4]
     + _COMMON_CONTENT
 )
@@ -711,7 +718,8 @@ _PUSH = (
 _CONVERSATION = (
     RELATIONSHIP_RULES + USER_UNAVAILABLE_RULES + LEGAL_RULES
     + TOXICITY_REPLY_RULES + TWEET_LABEL_RULES + CARD_RULES
-    + SENSITIVE_MEDIA_RULES + ADVANCED_FILTERING_RULES
+    + SENSITIVE_MEDIA_RULES + vb.SENSITIVE_MEDIA_PER_LABEL_RULES
+    + vb.USER_UNAVAILABLE_TOMBSTONE_RULES + ADVANCED_FILTERING_RULES
     + vb.MUTED_KEYWORD_BREADTH_RULES[2:3]
     + _pick(vb.BOUNCE_RULES, "TombstoneBounceDeletedTweetRule",
             "TombstoneDeletedTweetRule", "BounceTweetLabelTombstoneRule")
@@ -749,12 +757,15 @@ _QUOTED = (
     + vb.MUTED_KEYWORD_BREADTH_RULES[5:6]
 )
 _DM = (RELATIONSHIP_RULES + DM_RULES + LEGAL_RULES + vb.DM_BREADTH_RULES
-       + vb.UNAVAILABLE_STATE_RULES[2:4])
+       + vb.DM_STRUCTURAL_RULES + vb.UNAVAILABLE_STATE_RULES[2:4])
 _DM_INBOX = _DM + [
     r for r in SPAM_AUTHOR_RULES
     if r.name in ("EngagementSpammerAuthorLabelRule",
                   "BanEvasionAuthorDropRule")]
 _SPACES = (RELATIONSHIP_RULES + SPACE_RULES + vb.SPACE_BREADTH_RULES
+           + _pick(vb.MISC_TAIL_RULES,
+                   'SpaceNsfwHighPrecisionSafeSearchNonFollowerDropRule',
+                   'SpaceNsfwHighRecallSafeSearchNonFollowerDropRule')
            + vb.UNAVAILABLE_STATE_RULES[:2])
 _ADS = (ADS_RULES + LEGAL_RULES + vb.AVOID_RULES + vb.NSFW_BREADTH_RULES[32:33]
         + [r for r in vb.NSFW_BREADTH_RULES + vb.GORE_VIOLENCE_RULES

@@ -912,6 +912,194 @@ TERMINAL_RULES: List[Rule] = [
 ]
 
 
+# -- sensitive-media per-label triads (SensitiveMediaSettingsRules.scala) ------
+#
+# The full per-media-label × per-viewer-setting matrix: each media safety
+# label crossed with the viewer's category setting yields a Drop /
+# Interstitial / DropSettingLevelTombstone triad — ≡ the
+# ``AdultMediaNsfw*``/``ViolentMediaGoreAndViolence*``/
+# ``OtherSensitiveMediaNsfw*`` rule objects.
+
+_MEDIA_LABEL_FAMILIES = (
+    ("AdultMediaNsfwCardImageTweetLabel", "adult_content",
+     "nsfw_card_image"),
+    ("AdultMediaNsfwHighPrecisionTweetLabel", "adult_content",
+     "nsfw_high_precision"),
+    ("AdultMediaNsfwHighRecallTweetLabel", "adult_content",
+     "nsfw_high_recall"),
+    ("AdultMediaNsfwReportedHeuristicsTweetLabel", "adult_content",
+     "nsfw_reported_heuristics"),
+    ("AdultMediaNsfwTextTweetLabel", "adult_content", "nsfw_text"),
+    ("AdultMediaNsfwVideoTweetLabel", "adult_content", "nsfw_video"),
+    ("ViolentMediaGoreAndViolenceHighPrecision", "graphic_violence",
+     "gore_and_violence_high_precision"),
+    ("ViolentMediaGoreAndViolenceReportedHeuristics", "graphic_violence",
+     "gore_and_violence_reported_heuristics"),
+    ("OtherSensitiveMediaNsfwAdminTweetFlag", "other_sensitive",
+     "nsfw_admin_flag"),
+    ("OtherSensitiveMediaNsfwUserTweetFlag", "other_sensitive",
+     "nsfw_user_flag"),
+)
+
+def _setting_is(cat: str, wanted: str):
+    """The viewer's per-category sensitive-media setting alone — the
+    per-LABEL rules carry their own media evidence (the label), unlike
+    :func:`media_setting` whose rules key on the media-category list.
+    An opted-in viewer's default is "allow" (SensitiveMediaSettings
+    defaults follow the legacy nsfw opt-in until set explicitly)."""
+
+    def cond(f):
+        default = "allow" if f.get("nsfw_opt_in") else "interstitial"
+        return f.get(f"media_setting_{cat}", default) == wanted
+
+    return cond
+
+
+SENSITIVE_MEDIA_PER_LABEL_RULES: List[Rule] = []
+for _pfx, _cat, _lbl in _MEDIA_LABEL_FAMILIES:
+    SENSITIVE_MEDIA_PER_LABEL_RULES += [
+        Rule(f"{_pfx}DropRule",
+             non_author(all_of(tweet_label(_lbl),
+                               _setting_is(_cat, "drop"))),
+             Action.DROP, f"{_lbl}_{_cat}_drop"),
+        Rule(f"{_pfx}InterstitialRule",
+             non_author(all_of(tweet_label(_lbl),
+                               _setting_is(_cat, "interstitial"))),
+             Action.INTERSTITIAL, f"{_lbl}_{_cat}_interstitial"),
+        Rule(f"{_pfx}DropSettingLevelTombstoneRule",
+             non_author(all_of(tweet_label(_lbl),
+                               _setting_is(_cat, "drop"))),
+             Action.TOMBSTONE, f"{_lbl}_{_cat}_tombstone"),
+    ]
+
+# -- user-unavailable tombstone matrix (UserUnavailableStateTombstoneRules) ----
+#
+# author-state × rendering-context (top-level tweet / retweet inner tweet /
+# inner quoted tweet) — the thread/conversation placeholder semantics.
+
+_UNAVAILABLE_STATES = (
+    ("Deactivated", author_label("deactivated")),
+    ("Erased", author_label("erased")),
+    ("OffBoarded", author_label("offboarded")),
+    ("Protected", non_follower(flag("author_is_protected"))),
+    ("Suspended", author_label("suspended")),
+    ("AuthorBlocksViewer", flag("author_blocks_viewer")),
+)
+
+USER_UNAVAILABLE_TOMBSTONE_RULES: List[Rule] = []
+for _state, _cond in _UNAVAILABLE_STATES:
+    for _ctx, _ctx_flag in (("Tweet", None), ("Retweet", "is_retweet"),
+                            ("InnerQuotedTweet", "is_inner_quoted")):
+        _c = _cond if _ctx_flag is None else all_of(flag(_ctx_flag), _cond)
+        USER_UNAVAILABLE_TOMBSTONE_RULES.append(Rule(
+            f"{_state}UserUnavailable{_ctx}TombstoneRule", _c,
+            Action.TOMBSTONE,
+            f"unavailable_{_state.lower()}_{_ctx.lower()}"))
+USER_UNAVAILABLE_TOMBSTONE_RULES += [
+    Rule("UserUnavailableTweetTombstoneRule", flag("author_unavailable"),
+         Action.TOMBSTONE, "author_unavailable"),
+    Rule("ViewerBlocksAuthorUserUnavailableRetweetTombstoneRule",
+         all_of(flag("is_retweet"), flag("viewer_blocks_author")),
+         Action.TOMBSTONE, "viewer_blocks_retweet"),
+    Rule("ViewerBlocksAuthorUserUnavailableInnerQuotedTweetInterstitialRule",
+         all_of(flag("is_inner_quoted"), flag("viewer_blocks_author")),
+         Action.INTERSTITIAL, "viewer_blocks_quoted"),
+    Rule("ViewerMutesAuthorUserUnavailableRetweetTombstoneRule",
+         all_of(flag("is_retweet"), flag("viewer_mutes_author")),
+         Action.TOMBSTONE, "viewer_mutes_retweet"),
+    Rule("ViewerMutesAuthorUserUnavailableInnerQuotedTweetInterstitialRule",
+         all_of(flag("is_inner_quoted"), flag("viewer_mutes_author")),
+         Action.INTERSTITIAL, "viewer_mutes_quoted"),
+]
+
+# -- DM conversation / event structural drops (DmConversationRules.scala,
+# DmEventRules.scala) ----------------------------------------------------------
+
+DM_STRUCTURAL_RULES: List[Rule] = [
+    Rule("DropDmConversationWithUndefinedConversationInfoRule",
+         flag("dm_conversation_info_undefined"), Action.DROP,
+         "dm_no_convo_info", fail_closed=True),
+    Rule("DropDmConversationWithUndefinedConversationTimelineRule",
+         flag("dm_conversation_timeline_undefined"), Action.DROP,
+         "dm_no_convo_timeline", fail_closed=True),
+    Rule("DropEmptyDmConversationRule", flag("dm_conversation_empty"),
+         Action.DROP, "dm_convo_empty"),
+    Rule("DropInaccessibleDmConversationRule",
+         flag("dm_conversation_inaccessible"), Action.DROP,
+         "dm_convo_inaccessible", fail_closed=True),
+    Rule("DropOneToOneDmConversationWithUnavailableParticipantsRule",
+         all_of(flag("dm_is_one_to_one"),
+                flag("dm_participant_unavailable")),
+         Action.DROP, "dm_convo_unavailable_participant"),
+    Rule("DmEventInOneToOneConversationWithUnavailableUserDropRule",
+         all_of(flag("dm_is_one_to_one"),
+                flag("dm_participant_unavailable")),
+         Action.DROP, "dm_event_unavailable_user"),
+    Rule("GroupEventInOneToOneConversationDropRule",
+         all_of(flag("dm_is_one_to_one"), flag("dm_is_group_event")),
+         Action.DROP, "dm_group_event_in_121"),
+    Rule("HiddenAndDeletedDmEventDropRule",
+         any_of(flag("dm_event_hidden"), flag("is_deleted")), Action.DROP,
+         "dm_event_hidden_deleted"),
+    Rule("InaccessibleDmEventDropRule", flag("dm_event_inaccessible"),
+         Action.DROP, "dm_event_inaccessible", fail_closed=True),
+    Rule("MessageCreateEventWithUnavailableSenderDropRule",
+         all_of(flag("dm_is_message_create"),
+                flag("dm_sender_unavailable")),
+         Action.DROP, "dm_sender_unavailable"),
+    Rule("NonPerspectivalDmEventDropRule",
+         flag("dm_event_non_perspectival"), Action.DROP,
+         "dm_event_non_perspectival"),
+    Rule("WelcomeMessageCreateEventOnlyVisibleToRecipientDropRule",
+         all_of(flag("dm_is_welcome_message"),
+                not_(flag("viewer_is_recipient"))),
+         Action.DROP, "dm_welcome_not_recipient"),
+]
+
+# -- remaining Rules.scala tail ------------------------------------------------
+
+MISC_TAIL_RULES: List[Rule] = [
+    Rule("AbusePolicyEpisodicTweetLabelDropRule",
+         non_follower(tweet_label("abuse_policy_episodic")), Action.DROP,
+         "abuse_episodic_drop"),
+    Rule("AbusePolicyEpisodicTweetLabelInterstitialRule",
+         non_author(tweet_label("abuse_policy_episodic")),
+         Action.INTERSTITIAL, "abuse_episodic_interstitial"),
+    Rule("AbusePolicyEpisodicTweetLabelComplianceTweetNoticeRule",
+         tweet_label("abuse_policy_episodic"),
+         Action.LIMITED_ENGAGEMENTS, "abuse_episodic_notice"),
+    Rule("TweetHasViolationOfAnyLevelFallbackDropRule",
+         any_of(tweet_label("violation_any_level"),
+                flag("has_unscoped_violation")),
+         Action.DROP, "violation_fallback", fail_closed=True),
+    Rule("SearchIpiSafeSearchWithoutUserInQueryDropRule",
+         opt_in_filtering(all_of(tweet_label("search_ipi"),
+                                 not_(flag("query_names_user")))),
+         Action.DROP, "search_ipi_no_user"),
+    Rule("ViewerHasMatchingMutedKeywordInSpaceTitleForNotificationsRule",
+         non_author(lambda f: bool(
+             set(f.get("viewer_muted_keywords", ()))
+             & set(f.get("space_title_keywords", ())))),
+         Action.DROP, "space_title_muted_keyword"),
+    Rule("ToxicityReplyFilterDropNotificationRule",
+         all_of(flag("is_reply"), score_above("toxicity_score", 0.91)),
+         Action.DROP, "toxic_reply_notification"),
+    Rule("SpaceNsfwHighPrecisionSafeSearchNonFollowerDropRule",
+         opt_in_filtering(non_follower(author_label("nsfw_high_precision"))),
+         Action.DROP, "space_nsfw_hp_safe_search"),
+    Rule("SpaceNsfwHighRecallSafeSearchNonFollowerDropRule",
+         opt_in_filtering(non_follower(author_label("nsfw_high_recall"))),
+         Action.DROP, "space_nsfw_hr_safe_search"),
+    Rule("UserBlinkWorstAllUsersDropRule", author_label("blink_worst"),
+         Action.DROP, "blink_worst"),
+    Rule("NsfwTextAllUsersDropRule", tweet_label("nsfw_text"), Action.DROP,
+         "nsfw_text_all"),
+    Rule("DeciderableAuthorBlocksViewerDropRule",
+         flag("author_blocks_viewer"), Action.DROP,
+         "author_blocks_viewer_drop"),
+]
+
+
 ALL_BREADTH_FAMILIES = (
     NSFW_BREADTH_RULES + GORE_VIOLENCE_RULES + BOUNCE_RULES
     + COMMUNITY_RULES + EXCLUSIVE_TRUSTED_RULES + SPAM_BREADTH_RULES
@@ -920,5 +1108,7 @@ ALL_BREADTH_FAMILIES = (
     + SENSITIVE_MEDIA_SETTING_RULES + SEARCH_BREADTH_RULES
     + ADV_FILTER_REFNAME_RULES + DO_NOT_AMPLIFY_RULES + AVOID_RULES
     + DUP_LOWQ_RULES + DM_BREADTH_RULES + SPACE_BREADTH_RULES
-    + TERMINAL_RULES
+    + TERMINAL_RULES + SENSITIVE_MEDIA_PER_LABEL_RULES
+    + USER_UNAVAILABLE_TOMBSTONE_RULES + DM_STRUCTURAL_RULES
+    + MISC_TAIL_RULES
 )
