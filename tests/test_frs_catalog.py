@@ -118,6 +118,59 @@ class TestSources:
         out = src.get(Request(profile_user_id=0), None)
         assert out[0].id == 5 and out[0].source == "STP"
 
+    def test_address_book_forward_and_reverse(self):
+        src = fc.AddressBookSource(
+            forward={0: [20, 21]}, reverse={0: [21, 22]})
+        out = src.get(Request(user_id=0), None)
+        by = {c.id: c.score for c in out}
+        assert by[21] == 1.5  # both legs
+        assert by[20] == 1.0 and by[22] == 0.5
+        assert out[0].id == 21
+
+    def test_crowd_search_locale_fallback(self):
+        src = fc.CrowdSearchAccountsSource({
+            "global": (np.asarray([7]), np.asarray([1.0])),
+            "ja": (np.asarray([8]), np.asarray([2.0])),
+        })
+        assert [c.id for c in src.get(Request(locale="ja"), None)] == [8]
+        assert [c.id for c in src.get(Request(locale="xx"), None)] == [7]
+        assert [c.id for c in src.get(Request(), None)] == [7]
+
+    def test_promoted_accounts_flagged_and_bid_ordered(self):
+        src = fc.PromotedAccountsSource(
+            np.asarray([30, 31]), np.asarray([0.1, 0.9]))
+        out = src.get(Request(), None)
+        assert [c.id for c in out] == [31, 30]
+        assert all(c.features["is_promoted"] == 1.0 for c in out)
+
+    def test_socialgraph_friends_of_friends(self):
+        follows = {10: [40, 41], 11: [41, 0]}  # 0 = the viewer (excluded)
+        src = fc.SocialgraphSource(lambda u: follows.get(u, []))
+        out = src.get(Request(user_id=0, followed_set=frozenset({10, 11})),
+                      None)
+        by = {c.id: c.score for c in out}
+        assert by[41] == 2.0 and by[40] == 1.0  # mutual proof ordering
+        assert 0 not in by and 10 not in by
+
+    def test_two_hop_random_walk_rows(self):
+        src = fc.TwoHopRandomWalkSource(
+            np.asarray([[50, 51]]), np.asarray([[0.9, 0.1]]))
+        out = src.get(Request(user_id=0), None)
+        assert [c.id for c in out] == [50, 51]
+
+    def test_catalog_breadth(self):
+        """≥12 distinct candidate-source kinds in the catalog (the
+        reference's candidate_sources/ families)."""
+        source_kinds = [
+            n for n in dir(fc)
+            if n.endswith("Source") and isinstance(getattr(fc, n), type)
+        ] + ["salsa_candidates", "sims_expansion_candidates"]
+        assert len(set(source_kinds)) >= 12, source_kinds
+        # every flow's source names resolve to a known kind
+        all_names = {n for names in fc.FlowCatalog.FLOW_SOURCES.values()
+                     for n in names}
+        assert len(all_names) >= 12, all_names
+
     def test_ppmi_locale(self):
         src = fc.PpmiLocaleSource(
             {"en": (np.asarray([8]), np.asarray([0.7]))}
@@ -203,7 +256,7 @@ class TestFlows:
         assert set(calls) == {"stp", "sims", "triangular"}
         assert len(out) <= 10
 
-    def test_home_flow_runs_seven_sources(self):
+    def test_home_flow_runs_all_home_sources(self):
         catalog = fc.FlowCatalog(
             sources_by_name={
                 n: (lambda r: [Candidate(id=abs(hash(n)) % 997, score=1.0)])
@@ -213,4 +266,6 @@ class TestFlows:
             predicates=[],
         )
         flow = catalog.flow(fc.DisplayLocation.HOME_TIMELINE)
-        assert len(flow.sources) == 7
+        assert len(flow.sources) == len(
+            fc.FlowCatalog.FLOW_SOURCES[fc.DisplayLocation.HOME_TIMELINE])
+        assert len(flow.sources) >= 9  # r5 breadth: +socialgraph, +2-hop

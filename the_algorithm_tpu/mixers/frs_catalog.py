@@ -251,6 +251,119 @@ class UserUserGraphSource(CandidateSource):
         return cands
 
 
+class AddressBookSource(CandidateSource):
+    """Contact-import matches (≡ ``addressbook/``): accounts whose uploaded
+    contact identifiers intersect the viewer's address book, weighted by
+    reverse-lookup count (forward = my contacts on the platform, reverse =
+    accounts that have ME in their contacts — both legs surfaced)."""
+
+    def __init__(self, forward: Dict[int, Sequence[int]],
+                 reverse: Dict[int, Sequence[int]],
+                 max_results: int = 40):
+        self._fwd = forward
+        self._rev = reverse
+        self._max = max_results
+
+    def get(self, request, params) -> List[Candidate]:
+        uid = int(request.user_id)
+        scores: Dict[int, float] = {}
+        for a in self._fwd.get(uid, ()):
+            scores[int(a)] = scores.get(int(a), 0.0) + 1.0
+        for a in self._rev.get(uid, ()):
+            scores[int(a)] = scores.get(int(a), 0.0) + 0.5
+        top = sorted(scores.items(), key=lambda kv: -kv[1])[: self._max]
+        return [
+            Candidate(id=a, score=s, source="AddressBook",
+                      features={"retrieval_score": s})
+            for a, s in top
+        ]
+
+
+class CrowdSearchAccountsSource(CandidateSource):
+    """Frequently-searched / frequently-followed-from-search accounts by
+    country bucket (≡ ``crowd_search_accounts/``)."""
+
+    def __init__(self, by_bucket: Dict[str, Tuple[np.ndarray, np.ndarray]],
+                 default_bucket: str = "global"):
+        self._table = by_bucket
+        self._default = default_bucket
+
+    def get(self, request, params) -> List[Candidate]:
+        loc = getattr(request, "locale", None) or self._default
+        entry = self._table.get(loc) or self._table.get(self._default)
+        if entry is None:
+            return []
+        ids, scores = entry
+        return _to_candidates(ids, scores, "CrowdSearchAccounts")
+
+
+class PromotedAccountsSource(CandidateSource):
+    """Ads-blended promoted accounts (≡ ``promoted_accounts/``): candidates
+    carry the promoted flag so :func:`interleave_promoted` can weave them
+    at the ad slots."""
+
+    def __init__(self, promoted_ids: np.ndarray, bids: np.ndarray,
+                 max_results: int = 8):
+        self._ids = np.asarray(promoted_ids)
+        self._bids = np.asarray(bids)
+        self._max = max_results
+
+    def get(self, request, params) -> List[Candidate]:
+        order = np.argsort(-self._bids)[: self._max]
+        out = []
+        for i in order:
+            c = Candidate(id=int(self._ids[i]), score=float(self._bids[i]),
+                          source="PromotedAccounts",
+                          features={"is_promoted": 1.0,
+                                    "retrieval_score": float(self._bids[i])})
+            out.append(c)
+        return out
+
+
+class SocialgraphSource(CandidateSource):
+    """Friends-of-friends follow-graph expansion (≡ ``socialgraph/``):
+    2-hop over the viewer's follow set, weighted by the number of followed
+    accounts that follow the candidate (mutual-follow social proof)."""
+
+    def __init__(self, follows_of: Callable[[int], Sequence[int]],
+                 max_results: int = 40):
+        self._follows_of = follows_of
+        self._max = max_results
+
+    def get(self, request, params) -> List[Candidate]:
+        seeds = set(int(a) for a in request.followed_set)
+        proof: Dict[int, int] = {}
+        for s in seeds:
+            for a in self._follows_of(s):
+                a = int(a)
+                if a in seeds or a == int(request.user_id):
+                    continue
+                proof[a] = proof.get(a, 0) + 1
+        top = sorted(proof.items(), key=lambda kv: (-kv[1], kv[0]))
+        out = []
+        for a, n in top[: self._max]:
+            out.append(Candidate(
+                id=a, score=float(n), source="Socialgraph",
+                features={"social_proof": float(n),
+                          "retrieval_score": float(n)}))
+        return out
+
+
+class TwoHopRandomWalkSource(CandidateSource):
+    """Precomputed two-hop random-walk scores (≡ ``two_hop_random_walk/``):
+    the offline RWR table keyed by viewer row — the batch twin of the
+    SALSA source's online walk."""
+
+    def __init__(self, walk_ids: np.ndarray,  # [U, K]
+                 walk_scores: np.ndarray):
+        self._ids = np.asarray(walk_ids)
+        self._sc = np.asarray(walk_scores)
+
+    def get(self, request, params) -> List[Candidate]:
+        u = int(request.user_id) % self._ids.shape[0]
+        return _to_candidates(self._ids[u], self._sc[u], "TwoHopRandomWalk")
+
+
 # -- predicate library (≡ common/.../predicates/) -------------------------------
 
 
@@ -370,12 +483,16 @@ class FlowCatalog:
         DisplayLocation.HOME_TIMELINE: (
             "sims", "sims_expansion", "triangular", "salsa",
             "recent_engagement", "real_graph", "user_user_graph",
+            "socialgraph", "two_hop_random_walk",
         ),
-        DisplayLocation.PROFILE_SIDEBAR: ("stp", "sims", "triangular"),
+        DisplayLocation.PROFILE_SIDEBAR: ("stp", "sims", "triangular",
+                                          "socialgraph"),
         DisplayLocation.POST_NUX: (
-            "pop_geo", "ppmi_locale", "sims", "salsa",
+            "pop_geo", "ppmi_locale", "sims", "salsa", "address_book",
+            "crowd_search",
         ),
-        DisplayLocation.EXPLORE: ("pop_geo", "recent_engagement", "salsa"),
+        DisplayLocation.EXPLORE: ("pop_geo", "recent_engagement", "salsa",
+                                  "crowd_search", "promoted_accounts"),
     }
     FLOW_SIZE = {
         DisplayLocation.HOME_TIMELINE: 40,
