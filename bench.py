@@ -138,10 +138,18 @@ def build_index(tweet_ids, tweet_scores):
     return idx_ids, idx_scores, ts
 
 
+EXACT_BLK = 65536  # r5 kernel blocks (per-block top-X folds in the scan)
+
+
 def exact_topk(queries_ids, queries_scores, tweet_ids, tweet_scores, k):
     """Brute-force cosine truth via the framework's exact scan
-    (``retrieval.exact_cosine_scan`` — the product-grade exact mode)."""
-    BLK = 8192
+    (``retrieval.exact_cosine_scan`` — the product-grade exact mode).
+
+    Also measures the TURBO full-corpus scan (bf16 gather +
+    ``approx_max_k`` per-block collectors) and its measured recall vs the
+    exact truth — the quality-tier product's operating point.
+    """
+    BLK = EXACT_BLK
     T_pad = ((T + BLK - 1) // BLK) * BLK
     ti = np.full((T_pad, KT), int(PAD_ID), np.int32)
     tsc = np.zeros((T_pad, KT), np.float32)
@@ -166,8 +174,28 @@ def exact_topk(queries_ids, queries_scores, tweet_ids, tweet_scores, k):
     def run(_):
         return scan(ti_d, tsc_d, src)
 
-    dt = _steady_state(run, None, reps=3)
-    return ids_np, Q / dt
+    dt = _steady_state(run, None, reps=8)
+
+    # turbo mode: bf16 + approx per-block collectors; recall measured, not
+    # assumed — this is what the exact-tier product serves at scale
+    turbo = jax.jit(functools.partial(
+        retrieval.exact_cosine_scan,
+        num_clusters=C, max_results=k, block=BLK,
+        compute_dtype=jnp.bfloat16, approx_block_topk=True,
+        recall_target=0.99,
+    ))
+    t_rows, _ = turbo(ti_d, tsc_d, src)
+    t_ids = np.asarray(t_rows)
+    hits = sum(
+        len(set(t_ids[q].tolist()) & set(ids_np[q].tolist()))
+        for q in range(Q))
+    turbo_recall = hits / float(Q * k)
+
+    def run_turbo(_):
+        return turbo(ti_d, tsc_d, src)
+
+    t_dt = _steady_state(run_turbo, None, reps=8)
+    return ids_np, Q / dt, Q / t_dt, turbo_recall
 
 
 def _materialize(out):
@@ -249,14 +277,25 @@ def bench_training():
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, cfg.num_features), jnp.float32)
     )
-    tx = optax.adam(1e-3)
+    # r5: Adam moments stored bf16 (training/optimizers.py) — cuts the
+    # optimizer-state HBM traffic of the update phase; measured 0.664 MFU
+    # vs 0.651 with f32 moments on this step. The other named lever —
+    # pinning argument-weight layouts — was measured and CANNOT express
+    # the closed-over-weights advantage: Format(Layout.AUTO) on all args
+    # = 0.530 (XLA's auto search picks WORSE layouts for this step),
+    # AUTO on the state only = 0.664 (it picks the defaults). The
+    # closed-over fwd win (0.745) comes from compile-time weight
+    # specialization (constants get pre-transposed/fused), which no
+    # runtime arg layout reproduces — see MFU_NOTES.md r5 addendum.
+    from the_algorithm_tpu.training.optimizers import adam_bf16
+
+    tx = adam_bf16(1e-3)
     opt_state = tx.init(params)
 
     # r4 operating point from the MFU_NOTES.md sweep: bf16 inputs +
     # donated state at B=16384 (0.623 vs the r3 0.609 at f32/8k). The step
     # is COMPUTE-bound by XLA's own cost analysis (AI 281 > ridge 240);
-    # remat hurt (-25% examples/s) and the residual gap is the
-    # weights-as-arguments layout penalty — see MFU_NOTES.md.
+    # remat hurt (-25% examples/s).
     B = 16384
     rng = np.random.default_rng(0)
     x = jnp.asarray(
@@ -355,7 +394,7 @@ def bench_lookup():
 
 def bench_foryou_batched(sann_ids, sann_scores, sann_dt_per_request,
                          exact_corpus=None, q_embs=None,
-                         recall_approx=None):
+                         recall_approx=None, recall_turbo=None):
     """End-to-end For You product via the batched engine (the r4 path).
 
     R concurrent requests share EVERY device program: one earlybird
@@ -510,7 +549,9 @@ def bench_foryou_batched(sann_ids, sann_scores, sann_dt_per_request,
                       "batch_ms": round(dt * 1e3, 1)})
     best_rps = max(c["requests_per_s"] for c in curve)
 
-    # serving front: concurrent clients through the RequestBatcher
+    # serving front: concurrent clients through the RequestBatcher with
+    # TWO pipelined workers (batch k+1's host phases hide under batch k's
+    # device programs — the navi double-buffering shape)
     from concurrent.futures import ThreadPoolExecutor
 
     from the_algorithm_tpu.serving.batcher import BatcherConfig, RequestBatcher
@@ -520,7 +561,8 @@ def bench_foryou_batched(sann_ids, sann_scores, sann_dt_per_request,
             return engine.serve_batch(queries)
 
     front = RequestBatcher(
-        serve, BatcherConfig(max_batch_size=32, max_delay_ms=10.0))
+        serve, BatcherConfig(max_batch_size=32, max_delay_ms=10.0),
+        n_workers=2)
     try:
         N_REQ = 128
         with ThreadPoolExecutor(max_workers=32) as ex:
@@ -531,6 +573,38 @@ def bench_foryou_batched(sann_ids, sann_scores, sann_dt_per_request,
             front_dt = time.time() - t0 + N_REQ * sann_dt_per_request
         assert all(len(o) > 0 for o in outs)
         front_rps = N_REQ / front_dt
+
+        # per-request latency at FIXED OFFERED LOAD (the serving SLO
+        # number): open-loop Poisson arrivals at ~80% of the measured
+        # front capacity, p50/p95/p99 across completed requests
+        offered = 0.8 * front_rps
+        lat_rng = np.random.default_rng(17)
+        gaps = lat_rng.exponential(1.0 / offered, 96)
+        req_lat = []
+
+        def one_req(i):
+            t0 = time.perf_counter()
+            out = front.serve(make_query(600 + i), timeout=120)
+            req_lat.append(time.perf_counter() - t0
+                           + sann_dt_per_request)
+            assert len(out) > 0
+
+        with ThreadPoolExecutor(max_workers=64) as ex:
+            futs = []
+            for i, g in enumerate(gaps):
+                time.sleep(float(g))
+                futs.append(ex.submit(one_req, i))
+            for f in futs:
+                f.result(timeout=120)
+        q_lat = np.sort(np.asarray(req_lat)) * 1e3
+        n_l = len(q_lat)
+        front_lat = {
+            "offered_rps": round(offered, 1),
+            "p50_ms": round(float(q_lat[int(0.5 * (n_l - 1))]), 1),
+            "p95_ms": round(float(q_lat[int(0.95 * (n_l - 1))]), 1),
+            "p99_ms": round(
+                float(q_lat[int(np.ceil(0.99 * (n_l - 1)))]), 1),
+        }
     finally:
         front.close()
 
@@ -548,9 +622,12 @@ def bench_foryou_batched(sann_ids, sann_scores, sann_dt_per_request,
             r = uid % eq_ids.shape[0]
             return eq_ids[r].astype(np.int32), eq_scores[r]
 
+        # the tier serves the TURBO full-corpus scan (bf16 + approx
+        # collectors) — recall measured vs the exact truth, not assumed
         exact_src = bf.ExactScanBatchSource(
-            ti_d, tsc_d, emb_fn, num_clusters=C, max_results=200)
-        availability = 5000  # 50% of traffic, sticky per user
+            ti_d, tsc_d, emb_fn, num_clusters=C, max_results=200,
+            turbo=True)
+        availability = 8000  # 80% of traffic, sticky per user
         decider = Decider({"exact_retrieval_tier": availability})
         tiered = bf.TieredSannBatchSource(
             bf.PrecomputedBatchSource(sann_ids[:half], sann_scores[:half]),
@@ -571,13 +648,100 @@ def bench_foryou_batched(sann_ids, sann_scores, sann_dt_per_request,
             dt = (time.time() - t0) / reps + R * sann_dt_per_request
         assert all(len(o) > 0 for o in outs_t)
         p = availability / 10000.0
+        tier_recall = (recall_turbo if recall_turbo is not None else 1.0)
         exact_tier = {
             "availability": p,
             "requests_per_s": round(R / dt, 1),
+            "tier_scan_recall": (round(recall_turbo, 4)
+                                 if recall_turbo is not None else 1.0),
             "blended_retrieval_recall": (
-                round(p * 1.0 + (1 - p) * recall_approx, 4)
+                round(p * tier_recall + (1 - p) * recall_approx, 4)
                 if recall_approx is not None else None),
         }
+
+    # streaming updates INTO the live serve tables while the engine
+    # serves (the Storm TweetJob / Heron realtime-aggregate role): a
+    # feeder thread folds UUA event micro-batches into the HBM tables via
+    # LiveUpdater (COW pointer swap per batch), concurrent with serving.
+    import threading
+
+    from the_algorithm_tpu.mixers import live_updates as lu
+
+    updater = lu.LiveUpdater(scorer)
+    E_BATCH = 256
+    ev_rng = np.random.default_rng(23)
+
+    probe_q = make_query(900)
+    with host:
+        probe_before = engine.serve_batch([probe_q])[0]
+    target = probe_before[0]  # the probe's current top candidate
+    target_author = int(target.features.get("author_id", 0) or 0)
+
+    ev_clock = [NOW]
+
+    def ev_batch():
+        users = ev_rng.integers(0, NU, E_BATCH)
+        tweets = ev_rng.integers(0, 1 << 15, E_BATCH).astype(np.int64)
+        tweets[:8] = int(target.id)  # a slice favs the probe's top pick
+        kinds = ev_rng.choice(
+            np.asarray(["fav", "retweet", "reply", "click"]),
+            E_BATCH, p=[0.7, 0.1, 0.1, 0.1])
+        ev_clock[0] += 1
+        ts = ev_clock[0]
+        return lu.batch_from_actions([
+            (int(users[i]), int(tweets[i]),
+             int(tweets[i] % A) if tweets[i] != target.id
+             else target_author,
+             str(kinds[i]), ts)
+            for i in range(E_BATCH)
+        ])
+
+    with host:
+        updater.apply(ev_batch())  # compile the update programs
+    stop = threading.Event()
+    applied = [0]
+
+    def feeder():
+        while not stop.is_set():
+            b = ev_batch()
+            with host:
+                updater.apply(b)
+            applied[0] += E_BATCH
+
+    th = threading.Thread(target=feeder, daemon=True)
+    R_u = 32
+    upd_batch = [make_query(700 + u) for u in range(R_u)]
+    with host:
+        engine.serve_batch(upd_batch)  # shape already compiled
+    th.start()
+    reps_u = 4
+    t0 = time.time()
+    for _ in range(reps_u):
+        with host:
+            engine.serve_batch(upd_batch)
+    dt_u = time.time() - t0
+    stop.set()
+    th.join(timeout=30)
+    window = time.time() - t0
+    serve_with_updates_rps = reps_u * R_u / (
+        dt_u + reps_u * R_u * sann_dt_per_request)
+    update_eps = applied[0] / max(window, 1e-9)
+
+    # freshness: the mid-bench fav burst must move the target tweet's
+    # score in the very next request
+    with host:
+        probe_after = engine.serve_batch([probe_q])[0]
+    before_s = float(target.score)
+    after_by_id = {c.id: float(c.score) for c in probe_after}
+    after_s = after_by_id.get(int(target.id))
+    freshness_moved = after_s is None or abs(after_s - before_s) > 1e-9
+
+    updates = {
+        "serve_with_updates_req_per_s": round(serve_with_updates_rps, 1),
+        "update_events_per_s": round(update_eps, 1),
+        "update_batch_events": E_BATCH,
+        "freshness_moved_next_request": bool(freshness_moved),
+    }
 
     return (
         serial_rps,
@@ -588,6 +752,8 @@ def bench_foryou_batched(sann_ids, sann_scores, sann_dt_per_request,
         best_rps,
         front_rps,
         exact_tier,
+        front_lat,
+        updates,
     )
 
 
@@ -643,7 +809,7 @@ def main():
     except Exception:
         sharded_qps = None
 
-    truth, exact_qps = exact_topk(
+    truth, exact_qps, turbo_qps, turbo_recall = exact_topk(
         q_ids, q_scores, tweet_ids, tweet_scores, K_RECALL)
     recall = float(
         metrics.recall_at_k(
@@ -672,7 +838,7 @@ def main():
 
     # free the retrieval state before the big-table/ranking phases
     # (keep the padded corpus host copies for the exact-tier product phase)
-    BLK = 8192
+    BLK = EXACT_BLK
     T_pad = ((T + BLK - 1) // BLK) * BLK
     exact_ti = np.full((T_pad, KT), int(PAD_ID), np.int32)
     exact_tsc = np.zeros((T_pad, KT), np.float32)
@@ -693,10 +859,12 @@ def main():
     # end-to-end For You product path LAST (after the 8 GB lookup table is
     # freed — its per-request state is small but HBM headroom is not)
     (foryou_rps, foryou_p50, foryou_p99, foryou_scored, foryou_curve,
-     foryou_batched, foryou_front, foryou_exact_tier) = bench_foryou_batched(
+     foryou_batched, foryou_front, foryou_exact_tier, foryou_front_lat,
+     foryou_updates) = bench_foryou_batched(
         ids_out, scores_out, dt / Q,
         exact_corpus=(jnp.asarray(exact_ti), jnp.asarray(exact_tsc)),
         q_embs=(q_ids, q_scores), recall_approx=recall,
+        recall_turbo=turbo_recall,
     )
 
     def mfu(flops_s):
@@ -731,9 +899,21 @@ def main():
                 "foryou_candidates_scored_per_request": round(foryou_scored, 1),
                 "foryou_batched_requests_per_s": round(foryou_batched, 1),
                 "foryou_front_requests_per_s": round(foryou_front, 1),
+                # per-request latency under the batched front at fixed
+                # (Poisson, ~80%-capacity) offered load — the serving SLO
+                "foryou_front_latency": foryou_front_lat,
                 "foryou_batch_curve": foryou_curve,
                 # the exact-retrieval quality tier as PRODUCT behavior
                 "foryou_exact_tier": foryou_exact_tier,
+                # TURBO full-corpus scan (bf16 + approx collectors): the
+                # tier's at-scale operating point, recall measured vs the
+                # exact scan's truth
+                "fullscan_turbo_queries_per_s": round(turbo_qps, 1),
+                "fullscan_turbo_recall": round(turbo_recall, 4),
+                # live streaming updates folded into the serve tables
+                # while the batched engine serves (freshness contract:
+                # a mid-bench fav burst moves the next request's scores)
+                "serving_updates": foryou_updates,
                 "ranking_candidates_per_s_per_chip": round(ranking_cps, 1),
                 "ranking_mfu": mfu(ranking_flops_s),
                 "ranking_flops_per_candidate": (

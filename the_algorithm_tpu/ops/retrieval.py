@@ -325,44 +325,92 @@ def exact_cosine_scan(
     *,
     num_clusters: int,
     max_results: int,
-    block: int = 8192,
+    block: int = 65536,
+    compute_dtype=jnp.float32,
+    approx_block_topk: bool = False,
+    recall_target: float = 0.99,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact cosine top-K over the full corpus → (rows [Q, X], scores).
+    """Full-corpus cosine top-K → (rows [Q, X], scores).
 
     Returns CORPUS ROW indices (the caller maps rows → tweet ids). T must
     be a multiple of ``block`` (pad the corpus with PAD rows otherwise).
+
+    TPU shape (r5 rework of the r3 kernel):
+      - the query table gathers TRANSPOSED ([C, Q]): each corpus cluster id
+        reads one contiguous [Q] row instead of a strided [Q, C] column —
+        the gather is the kernel's bandwidth term;
+      - per-block top-X folds inside the scan (running-carry merge), so the
+        [Q, T] score matrix never materializes (400 MB of HBM churn at
+        prod shapes) and the final sort is over X·2, not T;
+      - ``compute_dtype=bfloat16`` halves the gather/multiply bytes (scores
+        accumulate f32 via preferred_element_type);
+      - ``approx_block_topk`` swaps the per-block exact sort for
+        ``lax.approx_max_k`` (the TPU-shaped collector) — default OFF so
+        the default path stays EXACT end to end; the quality-tier product
+        turns it on and reports measured recall.
     """
     Q, _ = sources.ids.shape
     T, K = corpus_ids.shape
     if T % block != 0:
         raise ValueError(f"corpus length {T} not a multiple of {block}")
+    X = min(max_results, block)
     valid_q = sources.ids != PAD_ID
     q_dense = jnp.zeros((Q, num_clusters), jnp.float32)
     q_dense = q_dense.at[
         jnp.arange(Q)[:, None], jnp.where(valid_q, sources.ids, 0)
     ].add(jnp.where(valid_q, sources.scores, 0.0))
     q_norm = jnp.sqrt(jnp.sum(q_dense * q_dense, axis=1, keepdims=True))
-    q_dense = q_dense / jnp.maximum(q_norm, 1e-9)
+    q_dense = (q_dense / jnp.maximum(q_norm, 1e-9))
+    q_dense_t = q_dense.T.astype(compute_dtype)  # [C, Q] contiguous rows
 
     valid_t = corpus_ids != PAD_ID
     safe_ids = jnp.where(valid_t, corpus_ids, 0)
     t_scores = jnp.where(valid_t, corpus_scores, 0.0)
     t_norm = jnp.maximum(
         jnp.sqrt(jnp.sum(t_scores * t_scores, axis=1)), 1e-9)
+    inv_norm = (1.0 / t_norm).astype(jnp.float32)
+    t_scores = t_scores.astype(compute_dtype)
     live_row = jnp.any(valid_t, axis=1)
 
+    def block_top(s, rows):
+        # (scores [Q, B], rows [Q, B]) → per-block top-X
+        if approx_block_topk:
+            bs, bi = jax.lax.approx_max_k(
+                s, X, recall_target=recall_target)
+        else:
+            bs, bi = jax.lax.top_k(s, X)
+        return bs, jnp.take_along_axis(rows, bi, axis=1)
+
     def score_block(carry, start):
+        c_scores, c_rows = carry  # running [Q, X]
         ti = jax.lax.dynamic_slice_in_dim(safe_ids, start, block, axis=0)
         ts = jax.lax.dynamic_slice_in_dim(t_scores, start, block, axis=0)
-        tn = jax.lax.dynamic_slice_in_dim(t_norm, start, block, axis=0)
+        ivn = jax.lax.dynamic_slice_in_dim(inv_norm, start, block, axis=0)
         lv = jax.lax.dynamic_slice_in_dim(live_row, start, block, axis=0)
-        qw = q_dense[:, ti.reshape(-1)].reshape(Q, block, K)
-        s = jnp.einsum("qtk,tk->qt", qw, ts) / tn[None, :]
-        return carry, jnp.where(lv[None, :], s, -jnp.inf)
+        qw = q_dense_t[ti.reshape(-1)].reshape(block, K, Q)
+        s = jnp.einsum("bkq,bk->qb", qw, ts,
+                       preferred_element_type=jnp.float32)
+        s = s * ivn[None, :]
+        s = jnp.where(lv[None, :], s, -jnp.inf)
+        rows = jnp.broadcast_to(
+            (start + jnp.arange(block, dtype=jnp.int32))[None, :],
+            (Q, block))
+        bs, br = block_top(s, rows)
+        # merge with the running top (concat + exact top-X over 2X)
+        ms = jnp.concatenate([c_scores, bs], axis=1)
+        mr = jnp.concatenate([c_rows, br], axis=1)
+        ks, ki = jax.lax.top_k(ms, X)
+        return (ks, jnp.take_along_axis(mr, ki, axis=1)), ()
 
-    _, blocks = jax.lax.scan(
-        score_block, None, jnp.arange(0, T, block))
-    scores = jnp.moveaxis(blocks, 0, 1).reshape(Q, T)
-    top_scores, top_rows = jax.lax.top_k(scores, max_results)
+    init = (jnp.full((Q, X), -jnp.inf, jnp.float32),
+            jnp.full((Q, X), -1, jnp.int32))
+    (top_scores, top_rows), _ = jax.lax.scan(
+        score_block, init, jnp.arange(0, T, block, dtype=jnp.int32))
+    if X < max_results:
+        pad = max_results - X
+        top_scores = jnp.pad(top_scores, ((0, 0), (0, pad)),
+                             constant_values=-jnp.inf)
+        top_rows = jnp.pad(top_rows, ((0, 0), (0, pad)),
+                           constant_values=-1)
     top_rows = jnp.where(jnp.isfinite(top_scores), top_rows, -1)
     return top_rows, top_scores

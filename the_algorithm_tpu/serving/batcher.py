@@ -55,14 +55,25 @@ class RequestBatcher:
         serve_fn: Callable[[List[Any]], List[Any]],
         config: BatcherConfig = BatcherConfig(max_batch_size=16),
         stats: Optional[StatsReceiver] = None,
+        n_workers: int = 1,
     ):
+        """``n_workers > 1`` pipelines batches: while one worker's batch
+        executes on the device, another worker runs the NEXT batch's host
+        phases (request building, columnar prep) — the device stream
+        serializes the programs, so throughput gains come from hiding the
+        host time, not from device contention. serve_fn must be
+        thread-safe for reads (jax dispatch is)."""
         self.serve_fn = serve_fn
         self.config = config
         self.stats = stats or NullStats()
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._shutdown = threading.Event()
-        self._worker = threading.Thread(target=self._run, daemon=True)
-        self._worker.start()
+        self._workers = [
+            threading.Thread(target=self._run, daemon=True)
+            for _ in range(max(1, n_workers))
+        ]
+        for w in self._workers:
+            w.start()
 
     def submit(self, item: Any) -> Future:
         fut: Future = Future()
@@ -74,7 +85,8 @@ class RequestBatcher:
 
     def close(self) -> None:
         self._shutdown.set()
-        self._worker.join(timeout=2.0)
+        for w in self._workers:
+            w.join(timeout=2.0)
 
     def _collect(self) -> List[_Pending]:
         try:
