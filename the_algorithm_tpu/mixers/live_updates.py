@@ -179,10 +179,23 @@ class LiveUpdater:
         tables = self.scorer.tables
         resolvers = self.scorer.builder.resolvers
         E = len(batch.user_ids)
-        ts_dev = jnp.asarray(batch.timestamps, jnp.int32)
+        # pin the small event arrays to the TABLES' device: an uncommitted
+        # operand under a host default_device would otherwise pull the
+        # committed HBM tables to the host on every fold (measured r4:
+        # half-GB/call through the tunnel)
+        try:
+            dev = next(iter(tables.uss_ids.devices()))
+        except Exception:
+            dev = None
+
+        def pin(x):
+            a = jnp.asarray(x)
+            return jax.device_put(a, dev) if dev is not None else a
+
+        ts_dev = pin(np.asarray(batch.timestamps, np.int32))
         onehot = np.zeros((E, len(self.group.labels)), np.float32)
         onehot[np.arange(E), np.clip(batch.label_idx, 0, None)] = 1.0
-        onehot_dev = jnp.asarray(onehot)
+        onehot_dev = pin(onehot)
 
         agg_values = list(tables.agg_values)
         agg_last = list(tables.agg_last_ts)
@@ -201,11 +214,11 @@ class LiveUpdater:
                 rows = resolvers[name].lookup(keys)
             cap = int(agg_values[si].shape[0])
             ok = (rows >= 0) & (rows < cap)
-            safe_rows = jnp.asarray(np.where(ok, rows, 0), jnp.int32)
+            safe_rows = pin(np.where(ok, rows, 0).astype(np.int32))
             # masked events fold a zero label-vector (no-op on values);
             # row 0's last_ts still advances — acceptable for a serving
             # store (decay-to-now is monotone), counted for observability
-            oh = jnp.where(jnp.asarray(ok)[:, None], onehot_dev, 0.0)
+            oh = jnp.where(pin(ok)[:, None], onehot_dev, 0.0)
             v, l = self._fold(agg_values[si], agg_last[si], safe_rows,
                               oh, ts_dev)
             agg_values[si], agg_last[si] = v, l
@@ -213,21 +226,21 @@ class LiveUpdater:
 
         # USS rings + RSX engagement history (viewer-keyed, modulo rows)
         U_s = tables.uss_ids.shape[0]
-        u_s = jnp.asarray(batch.user_ids % U_s, jnp.int32)
+        u_s = pin((batch.user_ids % U_s).astype(np.int32))
         uss_ids, uss_ts = self._ring_push(
             tables.uss_ids, tables.uss_ts, u_s,
-            jnp.asarray(batch.signal_idx, jnp.int32),
-            jnp.asarray(batch.tweet_ids.astype(np.int64) % (1 << 31),
-                        jnp.int32),
+            pin(np.asarray(batch.signal_idx, np.int32)),
+            pin((batch.tweet_ids.astype(np.int64) % (1 << 31))
+                .astype(np.int32)),
             ts_dev)
         U_e = tables.eng_ids.shape[0]
-        u_e = jnp.asarray(batch.user_ids % U_e, jnp.int32)
+        u_e = pin((batch.user_ids % U_e).astype(np.int32))
         eng_ids, eng_type, eng_ts, eng_valid = self._eng_push(
             tables.eng_ids, tables.eng_type, tables.eng_ts,
             tables.eng_valid, u_e,
-            jnp.asarray(batch.eng_idx, jnp.int32),
-            jnp.asarray(batch.tweet_ids.astype(np.int64) % (1 << 31),
-                        jnp.int32),
+            pin(np.asarray(batch.eng_idx, np.int32)),
+            pin((batch.tweet_ids.astype(np.int64) % (1 << 31))
+                .astype(np.int32)),
             ts_dev)
 
         # realtime tweet embeddings (feeds the SANN index refresh)
@@ -236,8 +249,8 @@ class LiveUpdater:
             U_i = self._user_interests.ids.shape[0]
             self.emb_state = self._apply_favs(
                 self.emb_state, self._user_interests,
-                jnp.asarray(batch.user_ids % U_i, jnp.int32),
-                jnp.asarray(batch.tweet_ids % T, jnp.int32),
+                pin((batch.user_ids % U_i).astype(np.int32)),
+                pin((batch.tweet_ids % T).astype(np.int32)),
                 ts_dev)
 
         # atomic pointer swap: in-flight serves keep their snapshot
