@@ -637,21 +637,43 @@ def bench_foryou_batched(sann_ids, sann_scores, sann_dt_per_request,
             scorer=scorer, head_names=masknet.DEFAULT_HEAD_NAMES,
             lift=bf.ColumnsLift(A, NOW),
         )
-        R = 16
+        # the full-corpus scan's cost is ~Q-independent (gather
+        # transactions dominate), so small per-batch Q wastes it; the
+        # tier therefore serves through the PIPELINED front — batch k+1's
+        # scans overlap batch k's scoring, and coalescing keeps Q up
+        R = 32
         batch = [make_query(400 + u) for u in range(R)]
         with host:
-            tier_engine.serve_batch(batch)  # compile
-            reps = 3
-            t0 = time.time()
-            for _ in range(reps):
-                outs_t = tier_engine.serve_batch(batch)
-            dt = (time.time() - t0) / reps + R * sann_dt_per_request
+            tier_engine.serve_batch(batch)  # compile the R=32 shape
+        from the_algorithm_tpu.serving.batcher import (BatcherConfig,
+                                                       RequestBatcher)
+
+        def tier_serve(queries):
+            with host:
+                return tier_engine.serve_batch(queries)
+
+        tfront = RequestBatcher(
+            tier_serve, BatcherConfig(max_batch_size=32, max_delay_ms=10.0),
+            n_workers=2)
+        try:
+            from concurrent.futures import ThreadPoolExecutor
+
+            N_T = 96
+            with ThreadPoolExecutor(max_workers=32) as ex:
+                t0 = time.time()
+                futs = [ex.submit(tfront.serve, make_query(400 + i))
+                        for i in range(N_T)]
+                outs_t = [f.result(timeout=180) for f in futs]
+                dt_total = (time.time() - t0
+                            + N_T * sann_dt_per_request)
+        finally:
+            tfront.close()
         assert all(len(o) > 0 for o in outs_t)
         p = availability / 10000.0
         tier_recall = (recall_turbo if recall_turbo is not None else 1.0)
         exact_tier = {
             "availability": p,
-            "requests_per_s": round(R / dt, 1),
+            "requests_per_s": round(N_T / dt_total, 1),
             "tier_scan_recall": (round(recall_turbo, 4)
                                  if recall_turbo is not None else 1.0),
             "blended_retrieval_recall": (
@@ -698,15 +720,32 @@ def bench_foryou_batched(sann_ids, sann_scores, sann_dt_per_request,
 
     with host:
         updater.apply(ev_batch())  # compile the update programs
+        # unthrottled updater ceiling (no serving traffic)
+        t0 = time.time()
+        for _ in range(8):
+            updater.apply(ev_batch())
+        update_ceiling_eps = 8 * E_BATCH / (time.time() - t0)
     stop = threading.Event()
     applied = [0]
 
+    # the reference's realtime ingest point: ~6K fav-events/s
+    # (TweetJob.scala:51). Unthrottled, the updater sustains ~29K
+    # events/s but floods the single chip's execution stream and starves
+    # serving — so the bench measures serving AT the reference's ingest
+    # rate, plus the updater's unthrottled ceiling separately.
+    TARGET_EPS = 6000.0
+
     def feeder():
         while not stop.is_set():
+            t_b = time.perf_counter()
             b = ev_batch()
             with host:
                 updater.apply(b)
             applied[0] += E_BATCH
+            min_dt = E_BATCH / TARGET_EPS
+            el = time.perf_counter() - t_b
+            if el < min_dt:
+                time.sleep(min_dt - el)
 
     th = threading.Thread(target=feeder, daemon=True)
     R_u = 32
@@ -739,6 +778,9 @@ def bench_foryou_batched(sann_ids, sann_scores, sann_dt_per_request,
     updates = {
         "serve_with_updates_req_per_s": round(serve_with_updates_rps, 1),
         "update_events_per_s": round(update_eps, 1),
+        "update_events_per_s_unthrottled_ceiling": round(
+            update_ceiling_eps, 1),
+        "update_target_events_per_s": TARGET_EPS,
         "update_batch_events": E_BATCH,
         "freshness_moved_next_request": bool(freshness_moved),
     }
