@@ -645,6 +645,10 @@ def bench_foryou_batched(sann_ids, sann_scores, sann_dt_per_request,
         batch = [make_query(400 + u) for u in range(R)]
         with host:
             tier_engine.serve_batch(batch)  # compile the R=32 shape
+            # warm every pow2 scan shape the front's ragged tier counts
+            # can produce (each is one compiled program, disk-cached)
+            for qn in (32, 16, 8, 4, 2, 1):
+                exact_src.collect(exact_src.dispatch(batch[:qn], None))
         from the_algorithm_tpu.serving.batcher import (BatcherConfig,
                                                        RequestBatcher)
 

@@ -485,18 +485,29 @@ class ExactScanBatchSource(BatchCandidateSource):
     def dispatch(self, queries, params):
         from the_algorithm_tpu.ops import sparse as sp
 
+        n = len(queries)
         cls, scs = zip(*(self._emb(int(q.user_id)) for q in queries))
+        cls, scs = np.stack(cls), np.stack(scs)
+        # pad the query batch to a power of two: the scan compiles per Q
+        # shape, and a serving front's ragged tier counts would otherwise
+        # each trigger a fresh multi-minute compile (the scan's cost is
+        # ~Q-independent anyway — gather transactions dominate)
+        padded = max(1, 1 << (n - 1).bit_length())
+        if padded > n:
+            cls = np.concatenate([cls, np.repeat(cls[:1], padded - n, 0)])
+            scs = np.concatenate([scs, np.repeat(scs[:1], padded - n, 0)])
         src = sp.SparseEmbedding(
-            jnp.asarray(np.stack(cls), jnp.int32),
-            jnp.asarray(np.stack(scs), jnp.float32))
+            jnp.asarray(cls, jnp.int32), jnp.asarray(scs, jnp.float32))
         if self._device is not None:
             src = jax.device_put(src, self._device)
         rows, scores = self._jit(self._ids, self._scores, src)
-        return jnp.stack(
+        packed = jnp.stack(
             [rows, jax.lax.bitcast_convert_type(scores, jnp.int32)], -1)
+        return packed, n
 
     def collect(self, handle):
-        packed = np.asarray(handle)
+        packed, n = handle
+        packed = np.asarray(packed)[:n]
         rows = packed[..., 0]
         scores = packed[..., 1].view(np.float32)
         out = []
