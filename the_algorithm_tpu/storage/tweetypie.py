@@ -19,14 +19,35 @@ from typing import Dict, List, Mapping, Optional, Sequence, Set
 
 
 class HydrationField(enum.Flag):
-    """≡ the hydration option groups in GetTweetOptions."""
+    """≡ the hydration option groups in GetTweetOptions (r5: the named
+    hydrator catalog below maps each flag to its ``hydrator/*.scala``
+    counterparts)."""
 
     CORE = enum.auto()  # text, author, created_at
     COUNTS = enum.auto()  # fav/retweet/reply/quote counts
     MEDIA = enum.auto()
     VISIBILITY = enum.auto()  # safety labels
     QUOTED = enum.auto()  # one level of quoted-tweet core
-    ALL = CORE | COUNTS | MEDIA | VISIBILITY | QUOTED
+    # r5 breadth (TweetHydration.scala pipeline)
+    LANGUAGE = enum.auto()  # LanguageHydrator
+    ENTITIES = enum.auto()  # Mention/Url/Hashtag/CashtagEntitiesHydrator
+    CARD = enum.auto()  # CardHydrator (+ Card2)
+    PLACE = enum.auto()  # PlaceHydrator / ProfileGeoHydrator
+    CONVERSATION = enum.auto()  # ConversationId/Control/MutedHydrator
+    DIRECTED = enum.auto()  # DirectedAt / ReplyScreenNameHydrator
+    EDIT = enum.auto()  # EditControl/Edit/EditPerspectiveHydrator
+    PERSPECTIVE = enum.auto()  # PerspectiveHydrator (viewer engagement)
+    SOURCE = enum.auto()  # DeviceSource / SourceTweetHydrator
+    CONTRIBUTOR = enum.auto()  # ContributorHydrator
+    TAKEDOWN = enum.auto()  # TakedownHydrator (country withholding)
+    SELF_THREAD = enum.auto()  # self-thread metadata
+    NOTE = enum.auto()  # NoteTweetSuffixHydrator
+    PREVIOUS_COUNTS = enum.auto()  # PreviousTweetCountsHydrator (edits)
+    MEDIA_REFS = enum.auto()  # MediaKey/Refs/Tags/UrlFieldsHydrator
+    ALL = (CORE | COUNTS | MEDIA | VISIBILITY | QUOTED | LANGUAGE
+           | ENTITIES | CARD | PLACE | CONVERSATION | DIRECTED | EDIT
+           | PERSPECTIVE | SOURCE | CONTRIBUTOR | TAKEDOWN | SELF_THREAD
+           | NOTE | PREVIOUS_COUNTS | MEDIA_REFS)
 
 
 @dataclasses.dataclass
@@ -45,11 +66,24 @@ class Tweet:
     safety_labels: Set[str] = dataclasses.field(default_factory=set)
     deleted: bool = False
     conversation_id: Optional[int] = None  # assigned on the write path
+    # r5 hydrator-breadth fields (defaults keep old call sites working)
+    language: str = "en"
+    card_uri: Optional[str] = None
+    place_id: Optional[int] = None
+    conversation_control: Optional[str] = None  # by_invitation/community/…
+    directed_at_user_id: Optional[int] = None
+    source_client: str = "web"
+    contributor_id: Optional[int] = None
+    note_suffix: Optional[str] = None
+    retweet_of: Optional[int] = None  # SourceTweetHydrator target
 
 
 @dataclasses.dataclass
 class HydratedTweet:
-    """The GetTweetResult analog: only requested groups are populated."""
+    """The GetTweetResult analog: only requested groups are populated.
+
+    The r5 breadth groups land in ``extra`` keyed by hydrator name (the
+    reference's ValueState per-hydrator slots)."""
 
     tweet_id: int
     core: Optional[Mapping] = None
@@ -57,6 +91,7 @@ class HydratedTweet:
     media: Optional[Sequence[str]] = None
     visibility: Optional[Set[str]] = None
     quoted: Optional[Mapping] = None
+    extra: Dict[str, object] = dataclasses.field(default_factory=dict)
     found: bool = True
 
 
@@ -107,8 +142,17 @@ class TweetStore:
         self,
         tweet_ids: Sequence[int],
         fields: HydrationField = HydrationField.CORE,
+        *,
+        viewer: Optional["ViewerContext"] = None,
+        takedowns: Optional["TakedownStore"] = None,
+        edits: Optional["EditChainStore"] = None,
     ) -> List[HydratedTweet]:
-        """Batched hydration; missing/deleted → found=False (same order)."""
+        """Batched hydration; missing/deleted → found=False (same order).
+
+        The r5 breadth groups run through :data:`HYDRATOR_CATALOG` — each
+        named hydrator fills one ``extra`` slot when its flag is requested
+        (≡ the ``TweetHydration.scala`` pipeline composition).
+        """
         out: List[HydratedTweet] = []
         with self._lock:
             for tid in tweet_ids:
@@ -143,6 +187,12 @@ class TweetStore:
                             "author_id": q.author_id,
                             "text": q.text,
                         }
+                ctx = HydrationContext(self, viewer, takedowns, edits)
+                for name, flag, fn in HYDRATOR_CATALOG:
+                    if fields & flag:
+                        v = fn(t, ctx)
+                        if v is not None:
+                            h.extra[name] = v
                 out.append(h)
         return out
 
@@ -239,6 +289,183 @@ class EditChainStore:
 
     def is_stale(self, tweet_id: int) -> bool:
         return self.latest(tweet_id) != int(tweet_id)
+
+
+# -- the named read-side hydrator catalog --------------------------------------
+#
+# ≡ ``tweetypie/server/src/main/scala/com/twitter/tweetypie/hydrator/``:
+# TweetHydration composes ~40 single-purpose hydrators, each filling one
+# optional slot of the result. Same shape here: (name, flag, fn(tweet,
+# ctx) -> value | None); ``get_tweets`` runs the requested ones in catalog
+# order into ``HydratedTweet.extra``.
+
+
+@dataclasses.dataclass
+class ViewerContext:
+    """≡ the per-request viewer fields PerspectiveHydrator et al. read."""
+
+    user_id: Optional[int] = None
+    country: Optional[str] = None
+    faved_ids: Set[int] = dataclasses.field(default_factory=set)
+    retweeted_ids: Set[int] = dataclasses.field(default_factory=set)
+    muted_conversations: Set[int] = dataclasses.field(default_factory=set)
+
+
+@dataclasses.dataclass
+class HydrationContext:
+    store: "TweetStore"
+    viewer: Optional[ViewerContext]
+    takedowns: Optional["TakedownStore"]
+    edits: Optional["EditChainStore"]
+
+
+def _h_language(t, ctx):
+    return {"language": t.language}
+
+
+def _h_entities(t, ctx):
+    e = extract_entities(t.text)
+    return {"mentions": list(e.mentions), "urls": list(e.urls),
+            "hashtags": list(e.hashtags)}
+
+
+def _h_card(t, ctx):
+    e = extract_entities(t.text)
+    uri = t.card_uri or (e.urls[0] if e.urls else None)
+    return {"card_uri": uri, "has_card": uri is not None}
+
+
+def _h_place(t, ctx):
+    return {"place_id": t.place_id} if t.place_id is not None else None
+
+
+def _h_conversation(t, ctx):
+    out = {"conversation_id": t.conversation_id or t.tweet_id,
+           "conversation_control": t.conversation_control}
+    v = ctx.viewer
+    if v is not None:
+        out["conversation_muted"] = (
+            (t.conversation_id or t.tweet_id) in v.muted_conversations)
+    return out
+
+
+def _h_directed(t, ctx):
+    if t.directed_at_user_id is None and t.reply_to is None:
+        return None
+    reply_author = None
+    if t.reply_to is not None:
+        parent = ctx.store._tweets.get(t.reply_to)
+        if parent is not None:
+            reply_author = parent.author_id
+    return {"directed_at_user_id": t.directed_at_user_id,
+            "in_reply_to_author_id": reply_author}
+
+
+def _h_edit(t, ctx):
+    if ctx.edits is None:
+        return {"is_edit": False, "latest_version": t.tweet_id}
+    latest = ctx.edits.latest(t.tweet_id)
+    return {"is_edit": latest != t.tweet_id or bool(
+                ctx.edits.versions(t.tweet_id)[:-1]),
+            "latest_version": latest,
+            "is_stale": ctx.edits.is_stale(t.tweet_id)}
+
+
+def _h_perspective(t, ctx):
+    v = ctx.viewer
+    if v is None:
+        return None
+    return {"favorited": t.tweet_id in v.faved_ids,
+            "retweeted": t.tweet_id in v.retweeted_ids}
+
+
+def _h_source(t, ctx):
+    out = {"source_client": t.source_client}
+    if t.retweet_of is not None:
+        src = ctx.store._tweets.get(t.retweet_of)
+        if src is not None and not src.deleted:
+            out["source_tweet"] = {"tweet_id": src.tweet_id,
+                                   "author_id": src.author_id}
+    return out
+
+
+def _h_contributor(t, ctx):
+    if t.contributor_id is None:
+        return None
+    return {"contributor_id": t.contributor_id}
+
+
+def _h_takedown(t, ctx):
+    if ctx.takedowns is None:
+        return None
+    countries = ctx.takedowns.countries(t.tweet_id)
+    v = ctx.viewer
+    return {"withheld_countries": sorted(countries),
+            "withheld_for_viewer": (
+                v is not None
+                and ctx.takedowns.is_withheld(t.tweet_id, v.country))}
+
+
+def _h_self_thread(t, ctx):
+    if t.reply_to is None:
+        return None
+    parent = ctx.store._tweets.get(t.reply_to)
+    is_self = parent is not None and parent.author_id == t.author_id
+    return {"is_self_thread": is_self}
+
+
+def _h_note(t, ctx):
+    if t.note_suffix is None:
+        return None
+    return {"note_suffix": t.note_suffix,
+            "expanded_text": t.text + t.note_suffix}
+
+
+def _h_previous_counts(t, ctx):
+    if ctx.edits is None:
+        return None
+    versions = ctx.edits.versions(t.tweet_id)
+    prev = [v for v in versions if v != t.tweet_id]
+    if not prev:
+        return None
+    agg = {"fav_count": 0, "retweet_count": 0, "reply_count": 0}
+    for pid in prev:
+        p = ctx.store._tweets.get(pid)
+        if p is not None:
+            agg["fav_count"] += p.fav_count
+            agg["retweet_count"] += p.retweet_count
+            agg["reply_count"] += p.reply_count
+    return agg
+
+
+def _h_media_refs(t, ctx):
+    if not t.media:
+        return None
+    return {"media_keys": [f"key:{m}" for m in t.media],
+            "media_count": len(t.media),
+            "has_video": any("video" in m for m in t.media),
+            "has_image": any("video" not in m for m in t.media)}
+
+
+F = HydrationField
+HYDRATOR_CATALOG = (
+    ("LanguageHydrator", F.LANGUAGE, _h_language),
+    ("MentionEntitiesHydrator", F.ENTITIES, _h_entities),
+    ("CardHydrator", F.CARD, _h_card),
+    ("PlaceHydrator", F.PLACE, _h_place),
+    ("ConversationIdHydrator", F.CONVERSATION, _h_conversation),
+    ("DirectedAtHydrator", F.DIRECTED, _h_directed),
+    ("EditControlHydrator", F.EDIT, _h_edit),
+    ("PerspectiveHydrator", F.PERSPECTIVE, _h_perspective),
+    ("DeviceSourceHydrator", F.SOURCE, _h_source),
+    ("ContributorHydrator", F.CONTRIBUTOR, _h_contributor),
+    ("TakedownHydrator", F.TAKEDOWN, _h_takedown),
+    ("SelfThreadHydrator", F.SELF_THREAD, _h_self_thread),
+    ("NoteTweetSuffixHydrator", F.NOTE, _h_note),
+    ("PreviousTweetCountsHydrator", F.PREVIOUS_COUNTS, _h_previous_counts),
+    ("MediaRefsHydrator", F.MEDIA_REFS, _h_media_refs),
+)
+del F
 
 
 # -- takedowns (country-withheld content) ----------------------------------------
