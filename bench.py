@@ -639,15 +639,16 @@ def bench_foryou_batched(sann_ids, sann_scores, sann_dt_per_request,
         )
         # the full-corpus scan's cost is ~Q-independent (gather
         # transactions dominate), so small per-batch Q wastes it; the
-        # tier therefore serves through the PIPELINED front — batch k+1's
-        # scans overlap batch k's scoring, and coalescing keeps Q up
-        R = 32
+        # tier therefore serves through the PIPELINED front at R=64 —
+        # batch k+1's scans overlap batch k's scoring, and the deep
+        # coalesce amortizes each scan over twice the requests
+        R = 64
         batch = [make_query(400 + u) for u in range(R)]
         with host:
-            tier_engine.serve_batch(batch)  # compile the R=32 shape
+            tier_engine.serve_batch(batch)  # compile the R=64 shape
             # warm every pow2 scan shape the front's ragged tier counts
             # can produce (each is one compiled program, disk-cached)
-            for qn in (32, 16, 8, 4, 2, 1):
+            for qn in (64, 32, 16, 8, 4, 2, 1):
                 exact_src.collect(exact_src.dispatch(batch[:qn], None))
         from the_algorithm_tpu.serving.batcher import (BatcherConfig,
                                                        RequestBatcher)
@@ -657,13 +658,13 @@ def bench_foryou_batched(sann_ids, sann_scores, sann_dt_per_request,
                 return tier_engine.serve_batch(queries)
 
         tfront = RequestBatcher(
-            tier_serve, BatcherConfig(max_batch_size=32, max_delay_ms=10.0),
+            tier_serve, BatcherConfig(max_batch_size=64, max_delay_ms=10.0),
             n_workers=2)
         try:
             from concurrent.futures import ThreadPoolExecutor
 
-            N_T = 96
-            with ThreadPoolExecutor(max_workers=32) as ex:
+            N_T = 192
+            with ThreadPoolExecutor(max_workers=64) as ex:
                 t0 = time.time()
                 futs = [ex.submit(tfront.serve, make_query(400 + i))
                         for i in range(N_T)]
