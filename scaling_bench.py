@@ -359,7 +359,8 @@ def serve_sharded_scaling(*, r_requests: int = 8, pad_b: int = 256,
         )
         packed_m = jax.device_put(packed_np, eng._packed_sharding)
         dt, dt1 = _time_pair(
-            lambda: eng._jit(eng.tables, eng._agg_cat, eng.params, packed_m),
+            lambda: eng._jit(eng.tables, eng._agg_cat, eng._packed,
+                             eng.params, packed_m),
             lambda: single._jit(t1, p1, packed1),
             reps=reps)
         raw = dt1 / dt

@@ -197,6 +197,54 @@ def _cap_of(caps: Optional[Dict[str, int]], name: str, arr, axis: int = 0):
     return arr.shape[axis]
 
 
+def keyed_table_plan(
+    tables: DeviceWideTables,
+    caps: Optional[Dict[str, int]] = None,
+) -> Dict[Tuple[str, int], Dict[str, jnp.ndarray]]:
+    """The shared gather route plan: (key flavor, capacity) → named table
+    group. Used by :func:`gather_rows` (which computes the key per route)
+    AND by the sharded engine's placement packer (which concatenates each
+    group's leaves into one exchange buffer) — one source of truth so the
+    two can never disagree on what rides which route."""
+    A_m = _cap_of(caps, "tweepcred", tables.tweepcred)
+    A_m2 = _cap_of(caps, "author_meta", tables.author_meta)
+    U_g = _cap_of(caps, "gfs_neighbors", tables.gfs_neighbors, axis=1)
+    plan: Dict[Tuple[str, int], Dict[str, jnp.ndarray]] = {}
+
+    def add(flavor, name, tab, cap=None):
+        cap = int(cap if cap is not None else _cap_of(caps, name, tab))
+        plan.setdefault((flavor, cap), {})[name] = tab
+
+    add("ids", "doc", tables.doc_table)
+    add("ids", "tw_tweet", tables.twhin_tweet)
+    add("ids", "media_clip", tables.media_clip)
+    add("ids", "text_emb", tables.text_emb)
+    add("authors", "tw_author", tables.twhin_author)
+    add("authors", "tw_author_follow", tables.twhin_author_follow)
+    add("authors", "author_agg_emb", tables.author_agg_emb)
+    add("clip", "tweepcred", tables.tweepcred, A_m)
+    if A_m2 == A_m:
+        add("clip", "author_meta", tables.author_meta, A_m)
+    add("uid", "rg_nbrs", tables.rg_nbr_ids)
+    add("uid", "rg_counts", tables.rg_counts)
+    add("uid", "rg_last", tables.rg_last_ts)
+    add("uid", "tw_user", tables.twhin_user)
+    add("uid", "tw_user_neg", tables.twhin_user_negative)
+    add("uid", "eng_ids", tables.eng_ids)
+    add("uid", "eng_type", tables.eng_type)
+    add("uid", "eng_ts", tables.eng_ts)
+    add("uid", "eng_valid", tables.eng_valid)
+    add("uid", "user_interests", tables.user_interests)
+    add("uid", "uss_ids", tables.uss_ids)
+    add("uid", "uss_ts", tables.uss_ts)
+    # GFS adjacency per canonical pair ([E_ent, U, D]: entity slice is a
+    # static index, the U axis is the sharded/keyed one)
+    for name, (ue, ce) in graph_features.FEATURE_PAIRS.items():
+        add("uid", f"gfs_a::{name}", tables.gfs_neighbors[int(ue)], U_g)
+        add("clip", f"gfs_b::{name}", tables.gfs_neighbors[int(ce)], U_g)
+    return plan
+
+
 def gather_rows(
     tables: DeviceWideTables,
     req: DeviceRequests,
@@ -238,7 +286,6 @@ def gather_rows(
 
     A_m = _cap_of(caps, "tweepcred", tables.tweepcred)
     A_m2 = _cap_of(caps, "author_meta", tables.author_meta)
-    U_g = _cap_of(caps, "gfs_neighbors", tables.gfs_neighbors, axis=1)
     clip_a = jnp.clip(authors, 0)
 
     # key flavor per table: same (flavor, cap) ⇒ identical key array ⇒
@@ -251,39 +298,7 @@ def gather_rows(
         "clip": lambda cap: clip_a % cap,
         "uid": lambda cap: uid % cap,
     }
-    plan: Dict[Tuple[str, int], Dict[str, jnp.ndarray]] = {}
-
-    def add(flavor, name, tab, cap=None):
-        cap = int(cap if cap is not None else _cap_of(caps, name, tab))
-        plan.setdefault((flavor, cap), {})[name] = tab
-
-    add("ids", "doc", tables.doc_table)
-    add("ids", "tw_tweet", tables.twhin_tweet)
-    add("ids", "media_clip", tables.media_clip)
-    add("ids", "text_emb", tables.text_emb)
-    add("authors", "tw_author", tables.twhin_author)
-    add("authors", "tw_author_follow", tables.twhin_author_follow)
-    add("authors", "author_agg_emb", tables.author_agg_emb)
-    add("clip", "tweepcred", tables.tweepcred, A_m)
-    if A_m2 == A_m:
-        add("clip", "author_meta", tables.author_meta, A_m)
-    add("uid", "rg_nbrs", tables.rg_nbr_ids)
-    add("uid", "rg_counts", tables.rg_counts)
-    add("uid", "rg_last", tables.rg_last_ts)
-    add("uid", "tw_user", tables.twhin_user)
-    add("uid", "tw_user_neg", tables.twhin_user_negative)
-    add("uid", "eng_ids", tables.eng_ids)
-    add("uid", "eng_type", tables.eng_type)
-    add("uid", "eng_ts", tables.eng_ts)
-    add("uid", "eng_valid", tables.eng_valid)
-    add("uid", "user_interests", tables.user_interests)
-    add("uid", "uss_ids", tables.uss_ids)
-    add("uid", "uss_ts", tables.uss_ts)
-    # GFS adjacency per canonical pair ([E_ent, U, D]: entity slice is a
-    # static index, the U axis is the sharded/keyed one)
-    for name, (ue, ce) in graph_features.FEATURE_PAIRS.items():
-        add("uid", f"gfs_a::{name}", tables.gfs_neighbors[int(ue)], U_g)
-        add("clip", f"gfs_b::{name}", tables.gfs_neighbors[int(ce)], U_g)
+    plan = keyed_table_plan(tables, caps)
 
     for (flavor, cap), group in plan.items():
         rows.update(gather(group, flavors[flavor](cap)))

@@ -203,13 +203,81 @@ class ShardedServeEngine:
         self._agg_cat = (values_cat, last_cat)
         self._agg_offsets = offsets
 
-        # the per-store tuples are replaced by minimal placeholders (the
-        # packed table supersedes them; placing both would double HBM)
+        # pack every keyed-table route into ONE exchange buffer per dtype
+        # class: the multiget's per-leaf all_to_alls were 38% of the
+        # sharded batch on the virtual mesh (measured (2,2): 42.7 ms of
+        # 112.3), almost all per-collective overhead — a route now pays
+        # one id exchange + at most two row exchanges regardless of how
+        # many tables ride it.
+        plan = dh.keyed_table_plan(tables, caps)
+        A_m = caps["tweepcred"]
+        A_m2 = caps["author_meta"]
+        if A_m2 != A_m:
+            # the double-modulo author_meta route lives outside the plan
+            plan[("author_meta_dm", A_m2)] = {
+                "author_meta": tables.author_meta}
+        self._route_of: Dict[frozenset, str] = {}
+        self._route_meta: Dict[str, list] = {}
+        packed_global: Dict[str, Dict[str, jnp.ndarray]] = {}
+        packed_specs: Dict[str, Dict[str, P]] = {}
+        for (flavor, cap), group in plan.items():
+            route = f"{flavor}::{cap}"
+            self._route_of[frozenset(group)] = route
+            meta = []
+            bufs: Dict[str, list] = {"f": [], "i": []}
+            offs = {"f": 0, "i": 0}
+            for name in sorted(group):
+                leaf = jnp.asarray(group[name])
+                tail = tuple(leaf.shape[1:])
+                w = int(np.prod(tail)) if tail else 1
+                if jnp.issubdtype(leaf.dtype, jnp.floating):
+                    cls = "f"
+                    flat = leaf.reshape(cap, w).astype(jnp.float32)
+                else:
+                    cls = "i"
+                    flat = leaf.reshape(cap, w).astype(jnp.int32)
+                meta.append((name, cls, offs[cls], w, tail,
+                             leaf.dtype))
+                bufs[cls].append(flat)
+                offs[cls] += w
+            self._route_meta[route] = meta
+            packs = {}
+            pspecs = {}
+            for cls, parts in bufs.items():
+                if not parts:
+                    continue
+                cat = _pad_rows(jnp.concatenate(parts, axis=1), 0, E)
+                packs[cls] = jax.device_put(
+                    cat, NamedSharding(mesh, P(MODEL_AXIS, None)))
+                pspecs[cls] = P(MODEL_AXIS, None)
+            packed_global[route] = packs
+            packed_specs[route] = pspecs
+        self._packed = packed_global
+
+        # the real leaves are superseded by the packed routes: replace
+        # every keyed table with a minimal placeholder (gather_rows only
+        # reads group NAMES; capacities come from ``caps``)
+        def _ph(name, arr):
+            axis = _SHARD_AXIS[name]
+            if axis is None:
+                return jnp.asarray(arr)
+            # leading dims stay (statically indexed, e.g. the GFS entity
+            # axis); the shard axis shrinks to E; trailing dims to 1
+            shape = list(arr.shape)
+            shape[axis] = E
+            for d in range(axis + 1, arr.ndim):
+                shape[d] = 1
+            return jnp.zeros(tuple(shape), arr.dtype)
+
         tables = tables._replace(
             agg_values=tuple(
                 jnp.zeros((E, 1), jnp.float32) for _ in store_caps),
             agg_last_ts=tuple(
                 jnp.zeros((E,), jnp.int32) for _ in store_caps),
+            **{f: _ph(f, getattr(tables, f))
+               for f in _SHARD_AXIS
+               if f not in ("agg_values", "agg_last_ts", "rg_w", "rg_b")
+               and _SHARD_AXIS[f] is not None},
         )
         self.tables, specs = place_tables(tables, mesh)
         self.params = jax.device_put(
@@ -222,8 +290,10 @@ class ShardedServeEngine:
         head_w = np.asarray(head_weights, np.float32)
 
         agg_offsets = offsets
+        route_of = self._route_of
+        route_meta = self._route_meta
 
-        def body(tables, agg_cat, params, packed):
+        def body(tables, agg_cat, packs_local, params, packed):
             from the_algorithm_tpu.models import masknet
 
             req = dh.unpack_requests(packed, follow_width,
@@ -240,8 +310,24 @@ class ShardedServeEngine:
                 lift=cslice(req.lift),
                 source_idx=cslice(req.source_idx),
             )
+
+            def gather(group, key):
+                route = route_of.get(frozenset(group))
+                if route is None:  # the packed-agg group rides its own
+                    return _sharded_gather(group, key)
+                packs = packs_local[route]
+                rps = next(iter(packs.values())).shape[0]
+                flat = key.reshape(-1)
+                got, _ = route_and_gather(
+                    packs, flat, rows_per_shard=rps, axis=MODEL_AXIS)
+                out = {}
+                for name, cls, off, w, tail, dt in route_meta[route]:
+                    r = got[cls][:, off:off + w].reshape(key.shape + tail)
+                    out[name] = r if r.dtype == dt else r.astype(dt)
+                return out
+
             rows = dh.gather_rows(
-                tables, loc, gather=_sharded_gather, caps=caps,
+                tables, loc, gather=gather, caps=caps,
                 agg_packed=(agg_cat[0], agg_cat[1], agg_offsets))
             x = dh.assemble_from_rows(
                 rows, fns, loc, n_sources=n_sources,
@@ -278,7 +364,7 @@ class ShardedServeEngine:
         self._jit = jax.jit(jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=(specs, (spec_v, spec_l), param_specs,
+            in_specs=(specs, (spec_v, spec_l), packed_specs, param_specs,
                       P(DATA_AXIS, None, None)),
             out_specs=P(DATA_AXIS, None, None),
             check_vma=False,
@@ -296,7 +382,8 @@ class ShardedServeEngine:
         packed = dh.pack_requests(stacked, compact_rows=self._compact_rows)
         packed = jax.device_put(packed, self._packed_sharding)
         out = np.asarray(
-            self._jit(self.tables, self._agg_cat, self.params, packed))
+            self._jit(self.tables, self._agg_cat, self._packed,
+                      self.params, packed))
         return out[:R]
 
     def score_requests(self, batch):
