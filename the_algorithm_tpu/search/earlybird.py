@@ -107,6 +107,42 @@ DOC_FEATURES = (
     # r5: absolute tweet language id — the lang: operator's posting field
     # (``queryparser``/EarlybirdFieldConstants LANG field)
     "tweet_language",
+    # r5 full EarlybirdFieldConstants catalog coverage
+    # (``common/schema/earlybird/EarlybirdFieldConstants.java`` — the
+    # remaining encoded/extended-encoded feature slots and CSF payloads):
+    # weighted/decayed/fake/blink engagement families
+    "weighted_retweet_count", "weighted_reply_count",
+    "weighted_fav_count", "weighted_quote_count",
+    "decayed_retweet_count", "decayed_reply_count",
+    "decayed_fav_count", "decayed_quote_count",
+    "fake_retweet_count", "fake_reply_count", "fake_quote_count",
+    "blink_retweet_count", "blink_reply_count", "blink_fav_count",
+    "blink_quote_count",
+    # v2 counter slots + engagement recency
+    "embeds_impression_count_v2", "embeds_url_count_v2",
+    "video_view_count_v2", "num_hashtags_v2", "num_mentions_v2",
+    "last_retweet_since_creation_hrs", "last_reply_since_creation_hrs",
+    "last_fav_since_creation_hrs", "last_quote_since_creation_hrs",
+    # media family: vine/periscope/expando-card slots
+    "has_vine", "has_periscope", "has_expando_card", "has_trend",
+    "is_trending_now", "periscope_exists", "periscope_has_been_featured",
+    "periscope_is_currently_featured", "periscope_is_from_quality_source",
+    "periscope_is_live",
+    # author-state + health-model tail
+    "profile_is_egg", "is_user_new",
+    "experimental_health_score_3", "experimental_health_score_4",
+    "p_reported_score", "spammy_content_score",
+    # card / geo / link CSF payloads
+    "tweet_signature", "card_type", "card_lang", "card_uri_hash",
+    "lat", "lon", "link_category", "place_country",
+    "profile_geo_country", "profile_geo_region", "profile_geo_locality",
+    # id-valued CSF payloads (operator-addressable; index-scale ids fit
+    # float32's exact-integer range)
+    "conversation_id", "shared_status_id", "quoted_tweet_id",
+    "quoted_user_id", "directed_at_user_id", "reference_author_id",
+    "exclusive_conversation_author_id", "in_reply_to_tweet_id",
+    "in_reply_to_user_id", "retweet_source_tweet_id",
+    "retweet_source_user_id", "entity_id", "place_id", "space_id",
 )
 
 # stable small ids for the lang: operator (ISO codes the reference's
@@ -126,6 +162,239 @@ def language_id(code: str) -> int:
         return LANGUAGE_IDS[c]
     return len(LANGUAGE_IDS) + (_hash_term(c) % 1000)
 DOC_FEATURE_INDEX = {n: i for i, n in enumerate(DOC_FEATURES)}
+
+# Full EarlybirdFieldConstants catalog → TPU-index posting representation
+# (``common/schema/earlybird/EarlybirdFieldConstants.java``, all 192
+# enum members, lowercased). Kinds:
+#   tokens     — indexed text; rides the class-prefixed token stream
+#                (``search/analyzer.py`` namespaces the term hash)
+#   feature    — a numeric slot of the dense [T, F] features array
+#   column     — a dedicated EarlybirdIndex array
+#   engagement — per-user engagement postings; lives in the engagement
+#                graph (``graph/uteg.py``), not the tweet index
+#   packed     — the encoded-features blob itself (our features array IS
+#                the decoded form)
+#   unused     — reference-catalogued unused bit ranges
+FIELD_CATALOG: Mapping[str, Tuple[str, Optional[str]]] = {
+    # indexed text fields
+    "id_field": ("column", "tweet_ids"),
+    "resolved_links_text_field": ("tokens", "url_text"),
+    "text_field": ("tokens", "text"),
+    "tokenized_from_user_field": ("tokens", "user"),
+    "card_title_field": ("tokens", "card"),
+    "card_description_field": ("tokens", "card"),
+    "created_at_field": ("column", "created_ts"),
+    "entity_id_field": ("feature", "entity_id"),
+    "from_user_field": ("column", "author"),
+    "from_user_id_field": ("column", "author"),
+    "card_domain_field": ("tokens", "card"),
+    "card_name_field": ("tokens", "card"),
+    "geo_hash_field": ("feature", "lat"),
+    "hashtags_field": ("tokens", "hashtag"),
+    "hf_phrase_pairs_field": ("tokens", "phrase_pair"),
+    "hf_term_pairs_field": ("tokens", "term_pair"),
+    "image_links_field": ("tokens", "url"),
+    "in_reply_to_tweet_id_field": ("feature", "in_reply_to_tweet_id"),
+    "in_reply_to_user_id_field": ("feature", "in_reply_to_user_id"),
+    "internal_field": ("packed", None),
+    "iso_language_field": ("feature", "tweet_language"),
+    "link_category_field": ("feature", "link_category"),
+    "links_field": ("tokens", "url"),
+    "mentions_field": ("tokens", "mention"),
+    "news_links_field": ("tokens", "url"),
+    "normalized_source_field": ("tokens", "source"),
+    "place_field": ("tokens", "place"),
+    "retweet_source_tweet_id_field": ("feature", "retweet_source_tweet_id"),
+    "retweet_source_user_id_field": ("feature", "retweet_source_user_id"),
+    "source_field": ("tokens", "source"),
+    "stocks_field": ("tokens", "cashtag"),
+    "to_user_field": ("feature", "in_reply_to_user_id"),
+    "twimg_links_field": ("tokens", "url"),
+    "video_links_field": ("tokens", "url"),
+    "camelcase_user_handle_field": ("tokens", "user"),
+    "tokenized_user_name_field": ("tokens", "user"),
+    "conversation_id_field": ("feature", "conversation_id"),
+    "place_id_field": ("feature", "place_id"),
+    "place_full_name_field": ("tokens", "place"),
+    "place_country_code_field": ("feature", "place_country"),
+    "profile_geo_country_code_field": ("feature", "profile_geo_country"),
+    "profile_geo_region_field": ("feature", "profile_geo_region"),
+    "profile_geo_locality_field": ("feature", "profile_geo_locality"),
+    "liked_by_user_id_field": ("engagement", "favorite"),
+    "normalized_reply_count_greater_than_or_equal_to_field":
+        ("feature", "reply_count"),
+    "normalized_retweet_count_greater_than_or_equal_to_field":
+        ("feature", "retweet_count"),
+    "normalized_favorite_count_greater_than_or_equal_to_field":
+        ("feature", "fav_count"),
+    "composer_source": ("feature", "is_composer_source_camera"),
+    "quoted_tweet_id_field": ("feature", "quoted_tweet_id"),
+    "quoted_user_id_field": ("feature", "quoted_user_id"),
+    "retweeted_by_user_id": ("engagement", "retweet"),
+    "replied_to_by_user_id": ("engagement", "reply"),
+    "card_lang": ("feature", "card_lang"),
+    "named_entity_from_url_field": ("tokens", "entity"),
+    "named_entity_from_text_field": ("tokens", "entity"),
+    "named_entity_with_type_from_url_field": ("tokens", "entity"),
+    "named_entity_with_type_from_text_field": ("tokens", "entity"),
+    "directed_at_user_id_field": ("feature", "directed_at_user_id"),
+    "space_id_field": ("feature", "space_id"),
+    "space_title_field": ("tokens", "space"),
+    "space_admin_field": ("tokens", "space"),
+    "tokenized_space_admin_field": ("tokens", "space"),
+    "camelcase_tokenized_space_admin_field": ("tokens", "space"),
+    "tokenized_space_admin_display_name_field": ("tokens", "space"),
+    "url_description_field": ("tokens", "url_text"),
+    "url_title_field": ("tokens", "url_text"),
+    # CSF payloads
+    "card_type_csf_field": ("feature", "card_type"),
+    "encoded_tweet_features_field": ("packed", None),
+    "shared_status_id_csf": ("feature", "shared_status_id"),
+    "from_user_id_csf": ("column", "author"),
+    "created_at_csf_field": ("column", "created_ts"),
+    "id_csf_field": ("column", "tweet_ids"),
+    "lat_lon_csf_field": ("feature", "lat"),
+    "conversation_id_csf": ("feature", "conversation_id"),
+    "quoted_tweet_id_csf": ("feature", "quoted_tweet_id"),
+    "quoted_user_id_csf": ("feature", "quoted_user_id"),
+    "card_lang_csf": ("feature", "card_lang"),
+    "directed_at_user_id_csf": ("feature", "directed_at_user_id"),
+    "reference_author_id_csf": ("feature", "reference_author_id"),
+    "exclusive_conversation_author_id_csf":
+        ("feature", "exclusive_conversation_author_id"),
+    "card_uri_csf": ("feature", "card_uri_hash"),
+    # encoded feature flags / counters / scores
+    "is_retweet_flag": ("feature", "is_retweet"),
+    "is_offensive_flag": ("feature", "is_offensive"),
+    "has_link_flag": ("feature", "has_url"),
+    "has_trend_flag": ("feature", "has_trend"),
+    "is_reply_flag": ("feature", "is_reply"),
+    "is_sensitive_content": ("feature", "is_sensitive_content"),
+    "has_multiple_hashtags_or_trends_flag":
+        ("feature", "has_multiple_hashtags_or_trends"),
+    "from_verified_account_flag": ("feature", "from_verified_account"),
+    "text_score": ("feature", "text_score"),
+    "language": ("feature", "tweet_language"),
+    "link_language": ("feature", "link_language"),
+    "has_image_url_flag": ("feature", "has_image"),
+    "has_video_url_flag": ("feature", "has_video"),
+    "has_news_url_flag": ("feature", "has_news_url"),
+    "has_expando_card_flag": ("feature", "has_expando_card"),
+    "has_multiple_media_flag": ("feature", "has_multiple_media"),
+    "profile_is_egg_flag": ("feature", "profile_is_egg"),
+    "num_mentions": ("feature", "num_mentions"),
+    "num_hashtags": ("feature", "num_hashtags"),
+    "has_card_flag": ("feature", "has_card"),
+    "has_visible_link_flag": ("feature", "has_visible_link"),
+    "user_reputation": ("feature", "user_rep"),
+    "is_user_spam_flag": ("feature", "is_user_spam"),
+    "is_user_nsfw_flag": ("feature", "is_user_nsfw"),
+    "is_user_bot_flag": ("feature", "is_user_bot"),
+    "is_user_new_flag": ("feature", "is_user_new"),
+    "prev_user_tweet_engagement": ("feature",
+                                   "prev_user_tweet_engagement"),
+    "composer_source_is_camera_flag":
+        ("feature", "is_composer_source_camera"),
+    "retweet_count": ("feature", "retweet_count"),
+    "favorite_count": ("feature", "fav_count"),
+    "reply_count": ("feature", "reply_count"),
+    "parus_score": ("feature", "parus_score"),
+    "visible_token_ratio": ("feature", "visible_token_ratio"),
+    "has_quote_flag": ("feature", "has_quote"),
+    "from_blue_verified_account_flag":
+        ("feature", "from_blue_verified_account"),
+    "tweet_signature": ("feature", "tweet_signature"),
+    "has_consumer_video_flag": ("feature", "has_consumer_video"),
+    "has_pro_video_flag": ("feature", "has_pro_video"),
+    "has_vine_flag": ("feature", "has_vine"),
+    "has_periscope_flag": ("feature", "has_periscope"),
+    "has_native_image_flag": ("feature", "has_native_image"),
+    "is_nullcast_flag": ("feature", "is_nullcast"),
+    "extended_encoded_tweet_features_field": ("packed", None),
+    "embeds_impression_count": ("feature", "embeds_impression_count"),
+    "embeds_url_count": ("feature", "embeds_url_count"),
+    "video_view_count": ("feature", "video_view_count"),
+    "reference_author_id_least_significant_int":
+        ("feature", "reference_author_id"),
+    "reference_author_id_most_significant_int":
+        ("feature", "reference_author_id"),
+    "retweet_count_v2": ("feature", "retweet_count_v2"),
+    "favorite_count_v2": ("feature", "fav_count_v2"),
+    "reply_count_v2": ("feature", "reply_count_v2"),
+    "embeds_impression_count_v2":
+        ("feature", "embeds_impression_count_v2"),
+    "embeds_url_count_v2": ("feature", "embeds_url_count_v2"),
+    "video_view_count_v2": ("feature", "video_view_count_v2"),
+    "quote_count": ("feature", "quote_count"),
+    "label_abusive_flag": ("feature", "label_abusive_flag"),
+    "label_abusive_hi_rcl_flag": ("feature", "label_abusive_hi_rcl_flag"),
+    "label_dup_content_flag": ("feature", "label_dup_content_flag"),
+    "label_nsfw_hi_prc_flag": ("feature", "label_nsfw_hi_prec_flag"),
+    "label_nsfw_hi_rcl_flag": ("feature", "label_nsfw_hi_rcl_flag"),
+    "label_spam_flag": ("feature", "label_spam_flag"),
+    "label_spam_hi_rcl_flag": ("feature", "label_spam_hi_rcl_flag"),
+    "weighted_retweet_count": ("feature", "weighted_retweet_count"),
+    "weighted_reply_count": ("feature", "weighted_reply_count"),
+    "weighted_favorite_count": ("feature", "weighted_fav_count"),
+    "weighted_quote_count": ("feature", "weighted_quote_count"),
+    "periscope_exists": ("feature", "periscope_exists"),
+    "periscope_has_been_featured":
+        ("feature", "periscope_has_been_featured"),
+    "periscope_is_currently_featured":
+        ("feature", "periscope_is_currently_featured"),
+    "periscope_is_from_quality_source":
+        ("feature", "periscope_is_from_quality_source"),
+    "periscope_is_live": ("feature", "periscope_is_live"),
+    "is_trending_now_flag": ("feature", "is_trending_now"),
+    "decayed_retweet_count": ("feature", "decayed_retweet_count"),
+    "decayed_reply_count": ("feature", "decayed_reply_count"),
+    "decayed_favorite_count": ("feature", "decayed_fav_count"),
+    "decayed_quote_count": ("feature", "decayed_quote_count"),
+    "fake_retweet_count": ("feature", "fake_retweet_count"),
+    "fake_reply_count": ("feature", "fake_reply_count"),
+    "fake_favorite_count": ("feature", "fake_fav_count"),
+    "fake_quote_count": ("feature", "fake_quote_count"),
+    "last_retweet_since_creation_hrs":
+        ("feature", "last_retweet_since_creation_hrs"),
+    "last_reply_since_creation_hrs":
+        ("feature", "last_reply_since_creation_hrs"),
+    "last_favorite_since_creation_hrs":
+        ("feature", "last_fav_since_creation_hrs"),
+    "last_quote_since_creation_hrs":
+        ("feature", "last_quote_since_creation_hrs"),
+    "num_hashtags_v2": ("feature", "num_hashtags_v2"),
+    "num_mentions_v2": ("feature", "num_mentions_v2"),
+    "num_stocks": ("feature", "num_stocks"),
+    "blink_retweet_count": ("feature", "blink_retweet_count"),
+    "blink_reply_count": ("feature", "blink_reply_count"),
+    "blink_favorite_count": ("feature", "blink_fav_count"),
+    "blink_quote_count": ("feature", "blink_quote_count"),
+    "toxicity_score": ("feature", "toxicity_score"),
+    "pblock_score": ("feature", "pblock_score"),
+    "experimental_health_model_score_1":
+        ("feature", "experimental_health_score_1"),
+    "experimental_health_model_score_2":
+        ("feature", "experimental_health_score_2"),
+    "experimental_health_model_score_3":
+        ("feature", "experimental_health_score_3"),
+    "experimental_health_model_score_4":
+        ("feature", "experimental_health_score_4"),
+    "p_spammy_tweet_score": ("feature", "pspammy_score"),
+    "p_reported_tweet_score": ("feature", "p_reported_score"),
+    "spammy_tweet_content_score": ("feature", "spammy_content_score"),
+    # reference-catalogued unused bit ranges
+    "extended_feature_unused_bits_0_24_8": ("unused", None),
+    "extended_test_feature_unused_bits_4_31_1": ("unused", None),
+    "extended_test_feature_unused_bits_7_6_26": ("unused", None),
+    "extended_test_feature_unused_bits_12_30_2": ("unused", None),
+    "extended_test_feature_unused_bits_13_30_2": ("unused", None),
+    "extended_test_feature_unused_bits_14_10_22": ("unused", None),
+    "extended_test_feature_unused_bits_16": ("unused", None),
+    "extended_test_feature_unused_bits_17": ("unused", None),
+    "extended_test_feature_unused_bits_18": ("unused", None),
+    "extended_test_feature_unused_bits_19": ("unused", None),
+    "extended_test_feature_unused_bits_20": ("unused", None),
+}
 _COUNT_FIELDS = (
     "fav_count", "reply_count", "retweet_count", "quote_count",
     "bookmark_count", "fav_count_v2", "reply_count_v2", "retweet_count_v2",
