@@ -564,8 +564,13 @@ def bench_foryou_batched(sann_ids, sann_scores, sann_dt_per_request,
         serve, BatcherConfig(max_batch_size=32, max_delay_ms=10.0),
         n_workers=2)
     try:
-        N_REQ = 128
-        with ThreadPoolExecutor(max_workers=32) as ex:
+        # in-flight clients = 2× the batch size: with exactly one batch's
+        # worth of clients, the client wave IS the batch and the second
+        # pipelined worker never has a queued batch to prepare — the
+        # pipeline can only overlap host and device phases when the
+        # backlog exceeds one batch (real fronts run deep backlogs)
+        N_REQ = 192
+        with ThreadPoolExecutor(max_workers=64) as ex:
             t0 = time.time()
             futs = [ex.submit(front.serve, make_query(300 + i))
                     for i in range(N_REQ)]
@@ -663,8 +668,10 @@ def bench_foryou_batched(sann_ids, sann_scores, sann_dt_per_request,
         try:
             from concurrent.futures import ThreadPoolExecutor
 
-            N_T = 192
-            with ThreadPoolExecutor(max_workers=64) as ex:
+            # backlog > one batch so the pipelined workers overlap
+            # (see the main front's N_REQ note)
+            N_T = 256
+            with ThreadPoolExecutor(max_workers=128) as ex:
                 t0 = time.time()
                 futs = [ex.submit(tfront.serve, make_query(400 + i))
                         for i in range(N_T)]

@@ -270,17 +270,35 @@ class BatchedForYouEngine:
             for q, c, (ids, scores, probs) in zip(queries, merged,
                                                   selected):
                 k = int(getattr(q, "max_results", self.scorer.select_top_k))
-                pos_of = {int(i): j for j, i in enumerate(c.ids)}
+                ids_k = np.asarray(ids[:k], np.int64)
+                scores_k = np.asarray(scores[:k], np.float64).tolist()
+                probs_k = np.asarray(probs[:k], np.float64)
+                # vectorized id→row match (no per-candidate dict): sort
+                # the merged ids once, searchsorted the K selected ids
+                order = np.argsort(c.ids, kind="stable")
+                sids = c.ids[order]
+                if len(sids):
+                    pos = np.searchsorted(sids, ids_k)
+                    pos_c = np.minimum(pos, len(sids) - 1)
+                    jrow = np.where(sids[pos_c] == ids_k,
+                                    order[pos_c], -1)
+                else:
+                    jrow = np.full(len(ids_k), -1)
+                safe = np.maximum(jrow, 0)
+                col_vals = {
+                    n: np.asarray(v)[safe].tolist()
+                    for n, v in c.cols.items()
+                    if n not in ("source_idx", "source_hash")}
+                head_vals = {
+                    f"predicted_{h}": probs_k[:, hi].tolist()
+                    for hi, h in enumerate(self.head_names)}
                 cands = []
-                for i, s, p in zip(ids[:k], scores[:k], probs[:k]):
-                    j = pos_of.get(int(i))
-                    feats = ({n: v[j].item() for n, v in c.cols.items()
-                              if n not in ("source_idx", "source_hash")}
-                             if j is not None else {})
-                    for hi, h in enumerate(self.head_names):
-                        feats[f"predicted_{h}"] = float(p[hi])
-                    cands.append(Candidate(
-                        id=int(i), score=float(s), features=feats))
+                for r, (i, s) in enumerate(zip(ids_k.tolist(), scores_k)):
+                    feats = ({n: vals[r] for n, vals in col_vals.items()}
+                             if jrow[r] >= 0 else {})
+                    for hn, vals in head_vals.items():
+                        feats[hn] = vals[r]
+                    cands.append(Candidate(id=i, score=s, features=feats))
                 out_sel.append(cands)
             return out_sel
         results = self.scorer.score_columnar(score_batch)
