@@ -372,35 +372,14 @@ def serve_sharded_scaling(*, r_requests: int = 8, pad_b: int = 256,
             "raw_ratio": round(raw, 4),
         }
 
-        # WEAK scaling — the serving-capacity question (a fleet scales by
-        # adding requests): the n-device mesh serves n× the requests, so
-        # each device does exactly the single-device batch's work
-        # (R·n/(dd·E) requests × pad_b/E slots = R × pad_b per device)
-        # and the per-batch exchange overhead amortizes over real work.
-        # efficiency = throughput(mesh, R·n) / (n × throughput(1, R)).
-        Rn = r_requests * n
-        batch_n = [
-            (home_mixer.ForYouQuery(user_id=u, followed_authors=[1, 2, 3],
-                                    max_results=50, now=NOW),
-             mk_cands(pad_b - 8, u))
-            for u in range(1, Rn + 1)
-        ]
-        reqs_n = [single.builder.build(q, c) for q, c in batch_n]
-        packed_n = dh.pack_requests(dh.batch_requests(reqs_n),
-                                    compact_rows=single._compact_rows)
-        packed_wm = jax.device_put(packed_n, eng._packed_sharding)
-        dtw, dtw1 = _time_pair(
-            lambda: eng._jit(eng.tables, eng._agg_cat, eng._packed,
-                             eng.params, packed_wm),
-            lambda: single._jit(t1, p1, packed1),
-            reps=reps)
-        raw_w = (Rn / dtw) / (n * (r_requests / dtw1))
-        out[n]["weak"] = {
-            "requests_per_s_mesh": round(Rn / dtw, 1),
-            "requests_per_s_single": round(r_requests / dtw1, 1),
-            "efficiency": round(min(1.0, raw_w), 4),
-            "raw_ratio": round(raw_w, 4),
-        }
+        # NOTE: a weak-scaling row (mesh serves n× the requests vs n
+        # single devices — the serving-capacity question) was measured
+        # and REMOVED: on a shared-core virtual mesh the n devices run
+        # n× the work on the same fixed host cores, so throughput stays
+        # flat and the ratio degenerates to strong/n by construction
+        # (measured 0.41/0.17/0.11 at n=2/4/8 ≈ exactly strong/n).
+        # Capacity scaling needs real chips; the same-work strong
+        # measure above is the one this host can resolve.
     return out
 
 
